@@ -1,0 +1,123 @@
+"""Device mesh, logical-axis rules, and sharding helpers.
+
+The framework runs everything — train step, evaluators, loss collectives —
+on ONE named 3-axis mesh `(data, fsdp, tensor)`:
+
+- `data`:   pure data parallelism (batch split, params replicated)
+- `fsdp`:   ZeRO-3-style parameter sharding along each kernel's embed dim,
+            while also contributing to the batch split
+- `tensor`: megatron-style tensor parallelism for mlp/heads/vocab dims
+
+Model code annotates params and activations with *logical* axis names
+(`embed`, `mlp`, `activation_batch`, ...); the rules table below maps those
+onto mesh axes and GSPMD inserts the collectives. Capability parity with
+reference src/helpers/sharding.py and src/configs/openvision.py:65-89, with
+the loss's ad-hoc flattened 1-D device mesh replaced by the main mesh's named
+axes (see openvision_tpu/losses.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import numpy as np
+from flax import linen as nn
+from flax.linen import spmd as nn_spmd
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+MESH_AXES = ("data", "fsdp", "tensor")
+
+# Logical axis name -> mesh axes. Same mapping the reference trains with
+# (src/configs/openvision.py:74-89): batch over (data, fsdp); params' embed
+# dim over fsdp (ZeRO-3); mlp/vocab/heads/norm over tensor.
+LOGICAL_AXIS_RULES = (
+    ("activation_batch", ("data", "fsdp")),
+    ("activation_heads", ("tensor",)),
+    ("activation_length", None),
+    ("activation_embed", ("tensor",)),
+    ("activation_mlp", ("tensor",)),
+    ("activation_kv", ("tensor",)),
+    ("activation_vocab", ("tensor",)),
+    ("mlp", ("tensor",)),
+    ("vocab", ("tensor",)),
+    ("embed", ("fsdp",)),
+    ("norm", ("tensor",)),
+    ("heads", ("tensor",)),
+    ("kv", None),
+)
+
+# Global batches are sharded across every mesh axis jointly.
+BATCH_SPEC = P(("data", "fsdp", "tensor"))
+
+
+def create_mesh(
+    data: int = -1,
+    fsdp: int = 1,
+    tensor: int = 1,
+    devices: Sequence[jax.Device] | None = None,
+) -> Mesh:
+    """Builds the named 3-axis device mesh. `data=-1` absorbs the remainder."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data == -1:
+        assert n % (fsdp * tensor) == 0, (n, fsdp, tensor)
+        data = n // (fsdp * tensor)
+    assert data * fsdp * tensor == n, (
+        f"mesh {data}x{fsdp}x{tensor} != {n} devices"
+    )
+    device_array = mesh_utils.create_device_mesh(
+        (data, fsdp, tensor), devices=devices
+    )
+    return Mesh(device_array, MESH_AXES)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, BATCH_SPEC)
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def logical_axis_rules(rules=LOGICAL_AXIS_RULES):
+    """Context manager activating the logical→mesh rules for flax modules."""
+    return nn_spmd.logical_axis_rules(rules)
+
+
+def params_shardings(params_shape: Any, mesh: Mesh, rules=LOGICAL_AXIS_RULES):
+    """Derives NamedShardings for a (possibly boxed) eval_shape param tree."""
+    logical_specs = nn.get_partition_spec(params_shape)
+    return nn.logical_to_mesh_sharding(logical_specs, mesh, list(rules))
+
+
+def unbox(tree: Any) -> Any:
+    """Strips flax LogicallyPartitioned boxes, leaving raw arrays."""
+    return jax.tree.map(
+        lambda x: x.unbox() if isinstance(x, nn.Partitioned) else x,
+        tree,
+        is_leaf=lambda x: isinstance(x, nn.Partitioned),
+    )
+
+
+def reshard(tree: Any, shardings: Any) -> Any:
+    """Places host-local arrays as global device arrays with `shardings`."""
+    return jax.device_put(tree, shardings)
+
+
+def local_batch_to_global(tree: Any, mesh: Mesh, spec: P = BATCH_SPEC) -> Any:
+    """Forms a global batch array from each process's host-local shard.
+
+    Single-process: a plain device_put. Multi-process (TPU pod): each host
+    contributes its local slice of the leading batch dim via
+    `jax.make_array_from_process_local_data` (the idiomatic replacement for
+    reference src/helpers/sharding.py:59's per-device assembly).
+    """
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sharding)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+        tree,
+    )
