@@ -14,4 +14,7 @@ os.environ["XLA_FLAGS"] = (
 
 import jax  # noqa: E402
 
+# The container's sitecustomize pins jax_platforms to the TPU tunnel; the
+# config knob (not the env var) is what wins, so set it too.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
