@@ -1,0 +1,291 @@
+"""CoCa-style caption decoder.
+
+Capability parity with reference src/models/text_decoder.py: projects image
+tokens and text-tower token features into decoder width, appends learnable
+query tokens, and decodes them with either
+
+- `concat` fusion: one self-attention stack over [image+text | queries] with
+  a prefix-LM mask (prefix fully visible, queries causal), or
+- `cross_attn` fusion: depth//2 pairs of (causal self-attn over queries,
+  cross-attn queries ← image+text).
+
+Output: vocab logits over the query positions (LN + tied-width Dense head).
+
+Checkpoint layout mirrors the reference (`image_projection_layer`,
+`text_projection_layer`, `learnable_tokens`, Transformer/encoderblock_i
+[+ crossattn_encoderblock_i], decoder_norm, head) so Orbax train states
+interchange.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from openvision_tpu.models.attention_module import MultiHeadAttention
+from openvision_tpu.models.encoder import Encoder, EncoderBlock
+from openvision_tpu.models.layers import ACT_BLD, MlpBlock, layer_norm, logical
+
+Dtype = Any
+
+# Decoder variant table (text_decoder.py:591-600; H/g differ from the text tower).
+VARIANTS = {
+    "Ti": (192, 12, 768, 3),
+    "S": (384, 12, 1536, 6),
+    "M": (512, 12, 2048, 8),
+    "B": (512, 12, 2048, 8),
+    "L": (768, 12, 3072, 12),
+    "So400m": (1152, 27, 4304, 16),
+    "H": (1024, 24, 4096, 16),
+    "g": (1024, 24, 4096, 16),
+    "G": (1664, 48, 8192, 16),
+    "e": (1792, 56, 15360, 16),
+}
+
+
+def decode_variant(variant: str | None) -> dict:
+    if variant is None:
+        return {}
+    width, depth, mlp_dim, num_heads = VARIANTS[variant]
+    return dict(width=width, depth=depth, mlp_dim=mlp_dim, num_heads=num_heads)
+
+
+class CrossAttnBlock(nn.Module):
+    """Pre-LN cross-attention + MLP residual block (queries ← context)."""
+
+    num_heads: int
+    mlp_dim: Optional[int] = None
+    dropout: float = 0.0
+    drop_path: float = 0.0
+    depth: int = 12
+    attn_impl: str = "xla"
+    chunk: int = 128
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, context: jax.Array, deterministic: bool = True
+    ) -> jax.Array:
+        width = x.shape[-1]
+        init_std = dict(
+            attn=width**-0.5,
+            proj=(width**-0.5) * ((2 * self.depth) ** -0.5),
+            fc=(2 * width) ** -0.5,
+        )
+        x = logical(x.astype(self.dtype), ACT_BLD)
+        y = layer_norm(self.dtype, self.param_dtype)(x)
+        ctx = layer_norm(self.dtype, self.param_dtype)(context.astype(self.dtype))
+        y = MultiHeadAttention(
+            num_heads=self.num_heads,
+            qkv_init=nn.initializers.normal(stddev=init_std["attn"]),
+            out_init=nn.initializers.normal(stddev=init_std["proj"]),
+            dropout_rate=self.dropout,
+            attn_impl=self.attn_impl,
+            chunk=self.chunk,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="MultiHeadDotProductAttention_0",
+        )(y, ctx, deterministic=deterministic)
+        y = nn.Dropout(rate=self.dropout)(y, deterministic)
+        x = logical(x + y, ACT_BLD)
+
+        y = layer_norm(self.dtype, self.param_dtype)(x)
+        y = MlpBlock(
+            mlp_dim=self.mlp_dim,
+            dropout=self.dropout,
+            gelu_approx=True,
+            fc_init=nn.initializers.normal(stddev=init_std["fc"]),
+            proj_init=nn.initializers.normal(stddev=init_std["proj"]),
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="MlpBlock_0",
+        )(y, deterministic)
+        y = nn.Dropout(rate=self.dropout)(y, deterministic)
+        return logical(x + y, ACT_BLD)
+
+
+class TextDecoder(nn.Module):
+    """Caption decoder head over (image_tokens, text_tokens)."""
+
+    num_classes: int = 32000  # vocab size
+    width: int = 512
+    depth: int = 12
+    mlp_dim: Optional[int] = None
+    num_heads: int = 8
+    dropout: float = 0.0
+    drop_path: float = 0.0
+    fusion_style: str = "concat"  # "concat" | "cross_attn"
+    causal: bool = True
+    num_learnable_tokens: int = 80
+    drop_token: int = 0
+    remat_policy: str = "none"
+    attn_impl: str = "xla"
+    chunk: int = 128
+    scan_mlp: bool = False
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+    use_dense_general: bool = False
+
+    @nn.compact
+    def __call__(
+        self, image_embeds: jax.Array, text_embeds: jax.Array, *, train: bool = False
+    ):
+        if self.drop_token > 0:
+            image_embeds = image_embeds[:, : image_embeds.shape[1] - self.drop_token + 1]
+        ni, _, di = image_embeds.shape
+        _, _, dt = text_embeds.shape
+
+        image_embeds = nn.Dense(
+            self.width,
+            use_bias=False,
+            kernel_init=nn.initializers.normal(stddev=di**-0.5),
+            name="image_projection_layer",
+        )(image_embeds)
+        text_embeds = nn.Dense(
+            self.width,
+            use_bias=False,
+            kernel_init=nn.initializers.normal(stddev=dt**-0.5),
+            name="text_projection_layer",
+        )(text_embeds)
+
+        queries = self.param(
+            "learnable_tokens",
+            nn.initializers.normal(stddev=1.0),
+            (self.num_learnable_tokens, self.width),
+        )
+        queries = jnp.tile(queries[None], (ni, 1, 1))
+
+        # The prefix the queries condition on: image tokens ++ text tokens.
+        prefix = jnp.concatenate([image_embeds, text_embeds], axis=1)
+        prefix = logical(prefix, ACT_BLD)
+        li = prefix.shape[1]
+
+        if self.fusion_style == "concat":
+            x = jnp.concatenate([prefix, queries], axis=1)
+            x = Encoder(
+                depth=self.depth,
+                num_heads=self.num_heads,
+                mlp_dim=self.mlp_dim,
+                dropout=self.dropout,
+                drop_path=self.drop_path,
+                init_style="scaled",
+                causal=self.causal,
+                prefix_len=li,
+                remat_policy=self.remat_policy,
+                attn_impl=self.attn_impl,
+                chunk=self.chunk,
+                scan_mlp=self.scan_mlp,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                use_dense_general=self.use_dense_general,
+                name="Transformer",
+            )(x, deterministic=not train)
+            x = x[:, li:]
+        elif self.fusion_style == "cross_attn":
+            assert self.depth % 2 == 0, "cross_attn fusion needs even depth"
+            half = self.depth // 2
+            x = _CrossAttnStack(
+                depth=half,
+                num_heads=self.num_heads,
+                mlp_dim=self.mlp_dim,
+                dropout=self.dropout,
+                drop_path=self.drop_path,
+                causal=self.causal,
+                remat_policy=self.remat_policy,
+                attn_impl=self.attn_impl,
+                chunk=self.chunk,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="Transformer",
+            )(queries, prefix, deterministic=not train)
+        else:
+            raise ValueError(f"Unknown fusion_style: {self.fusion_style!r}")
+
+        x = nn.LayerNorm(name="decoder_norm")(x)
+        logits = nn.Dense(
+            self.num_classes,
+            use_bias=False,
+            dtype=jnp.float32,
+            param_dtype=self.param_dtype,
+            kernel_init=nn.with_logical_partitioning(
+                nn.initializers.normal(stddev=self.width**-0.5), ("embed", "vocab")
+            ),
+            name="head",
+        )(x)
+        return logits, {}
+
+
+class _CrossAttnStack(nn.Module):
+    """Alternating (causal self-attn, cross-attn) pairs."""
+
+    depth: int
+    num_heads: int
+    mlp_dim: Optional[int] = None
+    dropout: float = 0.0
+    drop_path: float = 0.0
+    causal: bool = True
+    remat_policy: str = "none"
+    attn_impl: str = "xla"
+    chunk: int = 128
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, context: jax.Array, deterministic: bool = True
+    ) -> jax.Array:
+        dpr = np.linspace(0.0, self.drop_path, self.depth)
+        self_cls, cross_cls = EncoderBlock, CrossAttnBlock
+        if self.remat_policy != "none":
+            from openvision_tpu.models.encoder import _remat_policy
+
+            policy = _remat_policy(self.remat_policy)
+            self_cls = nn.remat(
+                EncoderBlock, prevent_cse=True, policy=policy, static_argnums=(1,)
+            )
+            cross_cls = nn.remat(
+                CrossAttnBlock, prevent_cse=True, policy=policy, static_argnums=(2,)
+            )
+        for i in range(self.depth):
+            x = self_cls(
+                num_heads=self.num_heads,
+                mlp_dim=self.mlp_dim,
+                dropout=self.dropout,
+                drop_path=float(dpr[i]),
+                init_style="scaled",
+                depth=self.depth,
+                causal=self.causal,
+                attn_impl=self.attn_impl,
+                chunk=self.chunk,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name=f"encoderblock_{i}",
+            )(x, deterministic)
+            x = cross_cls(
+                num_heads=self.num_heads,
+                mlp_dim=self.mlp_dim,
+                dropout=self.dropout,
+                drop_path=float(dpr[i]),
+                depth=self.depth,
+                attn_impl=self.attn_impl,
+                chunk=self.chunk,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name=f"crossattn_encoderblock_{i}",
+            )(x, context, deterministic)
+        return x
+
+
+def Model(num_classes=None, *, variant=None, **kw):
+    """Factory mirroring the reference API."""
+    from openvision_tpu.models.compat import translate_model_kwargs
+
+    kw = translate_model_kwargs(kw)
+    if num_classes is not None:
+        kw["num_classes"] = num_classes
+    return TextDecoder(**{**decode_variant(variant), **kw})

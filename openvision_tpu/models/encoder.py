@@ -1,0 +1,246 @@
+"""Shared pre-LN transformer encoder stack (vision + text + decoder).
+
+One parametrized block/stack replaces the reference's three copies
+(vit.py:245-401, text_transformer.py:384-586, text_decoder.py). Differences
+are pure configuration:
+
+- init_style "vit": normal(0.02) qkv/fc, timm-trunc proj, exact GELU
+  (vit.py:191-209, 276-280)
+- init_style "scaled": width/depth-scaled normals, tanh-approx GELU
+  (text_transformer.py:406-411, 117)
+- optional LayerScale (`init_values`), DropPath decay, causal or
+  prefix-LM masking, remat policies, blockwise-scanned MLP.
+
+Checkpoint layout per block (transfer_jax2hf.py): `encoderblock_{i}` with
+LayerNorm_0, MultiHeadDotProductAttention_0, LayerNorm_1, MlpBlock_0
+(+ ls1/ls2 when LayerScale is enabled).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from openvision_tpu.models.attention_module import MultiHeadAttention
+from openvision_tpu.models.layers import (
+    ACT_BLD,
+    DropPath,
+    LayerScale,
+    MlpBlock,
+    layer_norm,
+    logical,
+)
+
+Dtype = Any
+
+
+def prefix_lm_mask(batch: int, length: int, prefix_len: int) -> jax.Array:
+    """(B, 1, L, L) mask: prefix rows see the prefix; suffix rows are causal.
+
+    Equivalent to the reference's concat-fusion mask built with at/set
+    (text_transformer.py:418-442), expressed as one iota comparison:
+    allow col j from row i iff j <= max(i, prefix_len - 1).
+    """
+    rows = jax.lax.broadcasted_iota(jnp.int32, (length, length), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (length, length), 1)
+    mask = cols <= jnp.maximum(rows, prefix_len - 1)
+    return jnp.broadcast_to(mask[None, None], (batch, 1, length, length))
+
+
+def _make_inits(style: str, width: int, depth: int):
+    if style == "vit":
+        return dict(
+            qkv=nn.initializers.normal(stddev=0.02),
+            out=nn.initializers.normal(stddev=0.02),
+            fc=nn.initializers.normal(stddev=0.02),
+            proj=nn.initializers.variance_scaling(
+                scale=0.3072, distribution="truncated_normal", mode="fan_out"
+            ),
+            gelu_approx=False,
+        )
+    if style == "scaled":
+        return dict(
+            qkv=nn.initializers.normal(stddev=width**-0.5),
+            out=nn.initializers.normal(stddev=(width**-0.5) * ((2 * depth) ** -0.5)),
+            fc=nn.initializers.normal(stddev=(2 * width) ** -0.5),
+            proj=nn.initializers.normal(stddev=(width**-0.5) * ((2 * depth) ** -0.5)),
+            gelu_approx=True,
+        )
+    raise ValueError(f"Unknown init_style: {style!r}")
+
+
+class EncoderBlock(nn.Module):
+    """Pre-LN MHSA + MLP residual block."""
+
+    num_heads: int
+    mlp_dim: Optional[int] = None
+    dropout: float = 0.0
+    drop_path: float = 0.0
+    init_values: Optional[float] = None  # LayerScale init; None disables
+    init_style: str = "vit"
+    depth: int = 12  # for scaled inits
+    causal: bool = False
+    prefix_len: int = 0  # >0 enables prefix-LM masking (with causal=True)
+    attn_impl: str = "xla"
+    chunk: int = 128
+    scan_mlp: bool = False
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+    use_dense_general: bool = False
+    decode: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        width = x.shape[-1]
+        inits = _make_inits(self.init_style, width, self.depth)
+        x = logical(x.astype(self.dtype), ACT_BLD)
+
+        mask = None
+        causal = self.causal
+        if self.causal and self.prefix_len > 0 and not self.decode:
+            mask = prefix_lm_mask(x.shape[0], x.shape[1], self.prefix_len)
+            causal = False
+
+        y = layer_norm(self.dtype, self.param_dtype)(x)
+        y = MultiHeadAttention(
+            num_heads=self.num_heads,
+            qkv_init=inits["qkv"],
+            out_init=inits["out"],
+            dropout_rate=self.dropout,
+            causal=causal,
+            attn_impl=self.attn_impl,
+            chunk=self.chunk,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            use_dense_general=self.use_dense_general,
+            decode=self.decode,
+            name="MultiHeadDotProductAttention_0",
+        )(y, y, mask=mask, deterministic=deterministic)
+        y = nn.Dropout(rate=self.dropout)(y, deterministic)
+        if self.init_values is not None:
+            y = LayerScale(width, init_values=self.init_values, name="ls1")(y)
+        y = DropPath(rate=self.drop_path)(y, deterministic)
+        x = logical(x + y, ACT_BLD)
+
+        y = layer_norm(self.dtype, self.param_dtype)(x)
+        mlp = MlpBlock(
+            mlp_dim=self.mlp_dim,
+            dropout=self.dropout,
+            gelu_approx=inits["gelu_approx"],
+            fc_init=inits["fc"],
+            proj_init=inits["proj"],
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="MlpBlock_0",
+        )
+        if self.scan_mlp:
+            y = _blockwise_mlp(mlp, y, self.chunk, deterministic)
+        else:
+            y = mlp(y, deterministic)
+        y = nn.Dropout(rate=self.dropout)(y, deterministic)
+        if self.init_values is not None:
+            y = LayerScale(width, init_values=self.init_values, name="ls2")(y)
+        y = DropPath(rate=self.drop_path)(y, deterministic)
+        return logical(x + y, ACT_BLD)
+
+
+def _blockwise_mlp(mlp: nn.Module, x: jax.Array, chunk: int, deterministic: bool):
+    """Applies the MLP over sequence chunks via nn.scan (BPT-style memory cap).
+
+    Capability parity with reference bpt.py:21 (blockwise_ffn).
+    """
+    b, l, d = x.shape
+    if l % chunk != 0 or l == chunk:
+        return mlp(x, deterministic)
+    n = l // chunk
+    xs = x.reshape(b, n, chunk, d).swapaxes(0, 1)  # (n, b, chunk, d)
+    scan = nn.scan(
+        lambda m, _, xc: (None, m(xc, deterministic)),
+        variable_broadcast="params",
+        split_rngs={"params": False, "dropout": True},
+        in_axes=0,
+        out_axes=0,
+    )
+    _, ys = scan(mlp, None, xs)
+    return ys.swapaxes(0, 1).reshape(b, l, d)
+
+
+_REMAT_POLICIES: dict[str, Any] = {}
+
+
+def _remat_policy(name: str):
+    if not _REMAT_POLICIES:
+        cp = jax.checkpoint_policies
+        _REMAT_POLICIES.update(
+            none=None,
+            full=None,
+            minimal=cp.checkpoint_dots_with_no_batch_dims,
+            minimal_offloaded=cp.offload_dot_with_no_batch_dims(
+                offload_src="device", offload_dst="pinned_host"
+            ),
+        )
+    if name not in _REMAT_POLICIES:
+        raise ValueError(f"Unknown remat policy: {name!r}")
+    return _REMAT_POLICIES[name]
+
+
+class Encoder(nn.Module):
+    """A stack of EncoderBlocks with linear drop-path decay and remat."""
+
+    depth: int
+    num_heads: int
+    mlp_dim: Optional[int] = None
+    dropout: float = 0.0
+    drop_path: float = 0.0
+    init_values: Optional[float] = None
+    init_style: str = "vit"
+    causal: bool = False
+    prefix_len: int = 0
+    remat_policy: str = "none"
+    attn_impl: str = "xla"
+    chunk: int = 128
+    scan_mlp: bool = False
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+    use_dense_general: bool = False
+    decode: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        dpr = np.linspace(0.0, self.drop_path, self.depth)
+
+        block_cls = EncoderBlock
+        if self.remat_policy != "none":
+            block_cls = nn.remat(
+                EncoderBlock,
+                prevent_cse=True,
+                policy=_remat_policy(self.remat_policy),
+                static_argnums=(1,),
+            )
+
+        for i in range(self.depth):
+            x = block_cls(
+                num_heads=self.num_heads,
+                mlp_dim=self.mlp_dim,
+                dropout=self.dropout,
+                drop_path=float(dpr[i]),
+                init_values=self.init_values,
+                init_style=self.init_style,
+                depth=self.depth,
+                causal=self.causal,
+                prefix_len=self.prefix_len,
+                attn_impl=self.attn_impl,
+                chunk=self.chunk,
+                scan_mlp=self.scan_mlp,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                use_dense_general=self.use_dense_general,
+                decode=self.decode,
+                name=f"encoderblock_{i}",
+            )(x, deterministic)
+        return x

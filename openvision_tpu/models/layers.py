@@ -75,16 +75,6 @@ def posemb_sincos_1d(
     return jnp.asarray(pe, dtype)[None]
 
 
-class PositionEmbedding(nn.Module):
-    """Learned or fixed-sincos position embedding, added to the input.
-
-    The learned variant creates a param called `name` in the PARENT scope via
-    the parent passing it as `param_name`; here we keep it simple: this module
-    is not used as a submodule — towers call `get_posemb` below so the param
-    lands at the tower root as `pos_embedding` (checkpoint layout).
-    """
-
-
 def get_posemb(
     module: nn.Module,
     typ: str,

@@ -1,0 +1,277 @@
+"""ViT image tower.
+
+Capability parity with reference src/models/vit.py (patch-embed conv/stem/
+linear, cls token, learned/sincos2d posemb, MAE-style random token masking,
+gap/tok/map/0/avg pooling, variant table mu→e, posemb resampling for hi-res
+finetuning), on the shared Encoder with selectable attention backends.
+
+Checkpoint layout (Model-Zoo Orbax / transfer_jax2hf.py:137-249):
+  embedding/{kernel,bias}, cls, pos_embedding?, Transformer/encoderblock_i/...,
+  encoder_norm/{scale,bias}, head/{kernel,bias?}.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from openvision_tpu.models.encoder import Encoder
+from openvision_tpu.models.layers import (
+    ACT_BD,
+    ACT_BLD,
+    MlpBlock,
+    get_posemb,
+    layer_norm,
+    logical,
+)
+
+Dtype = Any
+
+# Width/depth/mlp/heads per variant — Table 2 of arXiv:2106.04560 (same table
+# the reference uses, vit.py:826-835).
+VARIANTS = {
+    "mu": (32, 1, 128, 2),
+    "Ti": (192, 12, 768, 3),
+    "S": (384, 12, 1536, 6),
+    "M": (512, 12, 2048, 8),
+    "B": (768, 12, 3072, 12),
+    "L": (1024, 24, 4096, 16),
+    "So400m": (1152, 27, 4304, 16),
+    "H": (1280, 32, 5120, 16),
+    "g": (1408, 40, 6144, 16),
+    "g-opt": (1536, 40, 6144, 16),
+    "G": (1664, 48, 8192, 16),
+    "G-opt": (1536, 48, 8192, 16),
+    "e": (1792, 56, 15360, 16),
+}
+
+
+def decode_variant(variant: str | None) -> dict:
+    """Parses "L/14" → dict(width=1024, depth=24, mlp_dim=4096, num_heads=16, patch_size=(14,14))."""
+    if variant is None:
+        return {}
+    v, patch = (variant.split("/") + [None])[:2]
+    width, depth, mlp_dim, num_heads = VARIANTS[v]
+    out = dict(width=width, depth=depth, mlp_dim=mlp_dim, num_heads=num_heads)
+    if patch is not None:
+        out["patch_size"] = (int(patch), int(patch))
+    return out
+
+
+class MAPHead(nn.Module):
+    """Multihead attention pooling (learned probe token)."""
+
+    num_heads: int = 12
+    mlp_dim: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        n, _, d = x.shape
+        probe = self.param(
+            "probe", nn.initializers.xavier_uniform(), (1, 1, d), x.dtype
+        )
+        probe = jnp.tile(probe, (n, 1, 1))
+        x = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, kernel_init=nn.initializers.xavier_uniform()
+        )(probe, x)
+        y = nn.LayerNorm()(x)
+        x = x + MlpBlock(mlp_dim=self.mlp_dim)(y)
+        return x[:, 0]
+
+
+def random_token_masking(
+    x: jax.Array, mask_ratio: float, rng: jax.Array
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """MAE-style random masking: keep a uniform subset of tokens.
+
+    Returns (kept_tokens, mask, ids_restore); mask is 1 where removed.
+    (reference vit.py:464-636 'random' mode; square/per2x2 modes TBD)
+    """
+    n, l, _ = x.shape
+    len_keep = int(l * (1.0 - mask_ratio))
+    noise = jax.random.uniform(rng, (n, l))
+    ids_shuffle = jnp.argsort(noise, axis=1)
+    ids_restore = jnp.argsort(ids_shuffle, axis=1)
+    ids_keep = ids_shuffle[:, :len_keep]
+    x_masked = jnp.take_along_axis(x, ids_keep[:, :, None], axis=1)
+    mask = jnp.ones((n, l))
+    mask = mask.at[:, :len_keep].set(0)
+    mask = jnp.take_along_axis(mask, ids_restore, axis=1)
+    return x_masked, mask, ids_restore
+
+
+class ViT(nn.Module):
+    """Vision transformer tower producing (pooled_embedding, patch_tokens)."""
+
+    num_classes: Optional[int] = None  # projection dim (CLIP head)
+    patch_size: Sequence[int] = (16, 16)
+    width: int = 768
+    depth: int = 12
+    mlp_dim: Optional[int] = None
+    num_heads: int = 12
+    posemb: str = "learn"  # "learn" | "sincos2d"
+    dropout: float = 0.0
+    drop_path: float = 0.0
+    pool_type: str = "gap"  # "gap" | "tok" | "map" | "0" | "avg"
+    patch_embedding: str = "conv"  # "conv" | "linear"
+    init_values: Optional[float] = None  # LayerScale
+    remat_policy: str = "none"
+    attn_impl: str = "xla"
+    chunk: int = 128
+    scan_mlp: bool = False
+    mask_ratio: float = 0.0
+    emb_head_bias: bool = True
+    head_zeroinit: bool = False
+    final_drop: float = 0.0
+    ignore_cls: bool = False
+    output_tokens: bool = False
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+    use_dense_general: bool = False
+
+    @nn.compact
+    def __call__(self, image: jax.Array, *, train: bool = False):
+        if self.patch_embedding == "conv":
+            x = nn.Conv(
+                self.width,
+                tuple(self.patch_size),
+                strides=tuple(self.patch_size),
+                padding="VALID",
+                use_bias=self.emb_head_bias,
+                kernel_init=nn.with_logical_partitioning(
+                    nn.initializers.kaiming_uniform(), (None, None, None, None)
+                ),
+                bias_init=nn.with_logical_partitioning(
+                    nn.initializers.zeros, (None,)
+                ),
+                dtype=jnp.float32,
+                param_dtype=self.param_dtype,
+                name="embedding",
+            )(image)
+            n, h, w, c = x.shape
+            x = x.reshape(n, h * w, c)
+        elif self.patch_embedding == "linear":
+            p = self.patch_size[0]
+            n = image.shape[0]
+            h = w = image.shape[2] // p
+            x = image.reshape(n, h, p, w, p, 3)
+            x = jnp.einsum("nhpwqc->nhwpqc", x).reshape(n, h * w, p * p * 3)
+            x = nn.Dense(self.width, name="embedding")(x)
+            c = self.width
+        else:
+            raise ValueError(f"Unknown patch_embedding: {self.patch_embedding!r}")
+
+        cls = self.param(
+            "cls",
+            nn.with_logical_partitioning(nn.initializers.normal(1e-6), (None,)),
+            (1, 1, c),
+            x.dtype,
+        )
+        x = jnp.concatenate([jnp.tile(cls, (n, 1, 1)), x], axis=1)
+        x = x + get_posemb(
+            self, self.posemb, (h, w), c, "pos_embedding", x.dtype, cls_token=True
+        )
+
+        x = logical(x.astype(self.dtype), ACT_BLD)
+        x = nn.Dropout(rate=self.dropout)(x, not train)
+
+        if self.mask_ratio > 0 and train:
+            cls_tok, rest = x[:, :1], x[:, 1:]
+            rest, _, _ = random_token_masking(
+                rest, self.mask_ratio, self.make_rng("random_mask")
+            )
+            x = jnp.concatenate([cls_tok, rest], axis=1)
+
+        if self.ignore_cls:
+            x = x[:, 1:]
+
+        x = Encoder(
+            depth=self.depth,
+            num_heads=self.num_heads,
+            mlp_dim=self.mlp_dim,
+            dropout=self.dropout,
+            drop_path=self.drop_path,
+            init_values=self.init_values,
+            init_style="vit",
+            remat_policy=self.remat_policy,
+            attn_impl=self.attn_impl,
+            chunk=self.chunk,
+            scan_mlp=self.scan_mlp,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            use_dense_general=self.use_dense_general,
+            name="Transformer",
+        )(x, deterministic=not train)
+        encoded = x
+
+        if self.pool_type == "map":
+            pooled = MAPHead(num_heads=self.num_heads, mlp_dim=self.mlp_dim)(x)
+        elif self.pool_type == "gap":
+            pooled = jnp.mean(x if self.ignore_cls else x[:, 1:], axis=1)
+            pooled = layer_norm(self.dtype, self.param_dtype, name="encoder_norm")(
+                pooled
+            )
+        elif self.pool_type == "avg":
+            pooled = jnp.mean(x[:, 1:] if not self.ignore_cls else x, axis=1)
+        elif self.pool_type == "0":
+            pooled = x[:, 0]
+        elif self.pool_type == "tok":
+            x = layer_norm(self.dtype, self.param_dtype, name="encoder_norm")(x)
+            pooled = x[:, 0]
+        else:
+            raise ValueError(f"Unknown pool_type: {self.pool_type!r}")
+
+        tokens = encoded[:, 1:] if not self.ignore_cls else encoded
+
+        if self.num_classes:
+            head_init = (
+                nn.initializers.zeros
+                if self.head_zeroinit
+                else nn.initializers.normal(stddev=0.02)
+            )
+            pooled = logical(pooled, ACT_BD)
+            pooled = nn.Dropout(rate=self.final_drop)(pooled, not train)
+            pooled = nn.Dense(
+                self.num_classes,
+                use_bias=self.emb_head_bias,
+                kernel_init=nn.with_logical_partitioning(
+                    head_init, ("embed", "vocab")
+                ),
+                bias_init=nn.with_logical_partitioning(
+                    nn.initializers.zeros, (None,)
+                ),
+                dtype=jnp.float32,
+                param_dtype=self.param_dtype,
+                name="head",
+            )(pooled)
+
+        if self.output_tokens:
+            return pooled, tokens
+        return pooled
+
+
+def Model(num_classes=None, *, variant=None, **kw):
+    """Factory mirroring the reference API (`Model(variant="L/14", ...)`)."""
+    from openvision_tpu.models.compat import translate_model_kwargs
+
+    kw = translate_model_kwargs(kw)
+    return ViT(num_classes=num_classes, **{**decode_variant(variant), **kw})
+
+
+def resample_posemb(old: jax.Array, new_shape_len: int) -> jax.Array:
+    """Bilinearly resizes a (1, 1+N, D) posemb grid for hi-res finetuning."""
+    if old.shape[1] == new_shape_len:
+        return old
+    cls_pos, grid = old[:, :1], old[:, 1:]
+    gs_old = int(np.sqrt(grid.shape[1]))
+    gs_new = int(np.sqrt(new_shape_len - 1))
+    grid = grid.reshape(gs_old, gs_old, -1)
+    grid = jax.image.resize(
+        grid, (gs_new, gs_new, grid.shape[-1]), method="bilinear"
+    )
+    grid = grid.reshape(1, gs_new * gs_new, -1)
+    return jnp.concatenate([cls_pos, grid], axis=1)
