@@ -1,0 +1,222 @@
+"""The base OpenVision training config.
+
+Capability parity with reference src/configs/openvision.py:26-365: same
+tunables (res, batch_factor, base_lr, img/txt variants, token lengths,
+parallelism counts, mask_ratio, ...), same pp-string pipeline, same
+optimizer/schedule/loss constants (Adam b2=0.95 mu=bf16, wd 0.2 on kernels,
+cosine with IN-1K-equivalent warmup epochs, coca loss 1·CLIP + 2·caption).
+"""
+
+from __future__ import annotations
+
+import ml_collections
+from ml_collections import ConfigDict
+
+from openvision_tpu.configs.common import parse_arg
+
+IMAGENET_SAMPLES = 1_281_167
+
+
+def get_config(arg: str | None = None) -> ConfigDict:
+    arg = parse_arg(
+        arg,
+        res=112,
+        batch_factor=2.0,
+        base_lr=8e-6,
+        imagenet_epoch=2000,
+        vitual_warmup_epoch=20,
+        runlocal=False,
+        token_len=80,
+        output_token_len=128,
+        remat="full",
+        img="L/16",
+        txt_name="L/16",
+        data_parallelism=-1,
+        fsdp_parallelism=1,
+        tensor_parallelism=1,
+        img_head=True,
+        use_sovit=False,
+        mask_ratio=0.0,
+        txt_key1="txt",
+        txt_key2="llava_caption",
+        color_jitter=True,
+        vocab_path="assets/bert_base_vocab_bos_eos.txt",
+        txt_decoder_name="L",
+        vocab_size=32000,
+        attn_impl="xla",
+        dtype="float32",
+        param_dtype="float32",
+    )
+
+    c = ConfigDict()
+
+    # ----- sharding -----
+    c.sharding = ConfigDict()
+    c.sharding.mesh = dict(
+        data=arg.data_parallelism,
+        fsdp=arg.fsdp_parallelism,
+        tensor=arg.tensor_parallelism,
+    )
+
+    # ----- checkpoints / logging -----
+    c.save_ckpt = True
+    c.keep_ckpt = 100_000_000
+    c.ckpt_steps = 1000
+    c.log_training_steps = 50
+    c.wandb = dict(log_wandb=False)
+
+    # ----- input -----
+    c.input = ConfigDict()
+    c.input.data = dict(name="synthetic", split="train", data_dir="")
+    c.input.shuffle_buffer_size = 250_000 if not arg.runlocal else 50
+    c.input.txt_token_length = arg.token_len
+    c.input.batch_size = int(1024 * 16 * arg.batch_factor)
+    c.init_shapes = [(128, arg.res, arg.res, 3), (256, arg.token_len)]
+    c.init_types = ["float32", "int32"]
+
+    tokenizer = (
+        f'my_bert_tokenize(max_len={arg.token_len}, '
+        f'output_token_len={arg.output_token_len}, '
+        f'vocab_path="{arg.vocab_path}", add_bos=True, add_eos=True, '
+        f'key1="{arg.txt_key1}", key2="{arg.txt_key2}")'
+    )
+    text_pp = (
+        f"|flatten|{tokenizer}|get_autoreg_label(pad_token=0)"
+        '|keep("image", "labels1", "labels2", "autoreg_labels", "cap_loss_mask")'
+    )
+    img_pp = (
+        f'inception_crop(inkey="jpg", size={arg.res}, area_min=40, '
+        'method="bilinear", antialias=True)'
+    )
+    if arg.color_jitter:
+        img_pp += "|simclr_jitter_gray(jitter_strength=0.4)"
+    c.input.pp = img_pp + text_pp
+    c.pp_modules = ["ops_general", "ops_image", "ops_text", "bert_ops"]
+
+    # ----- model -----
+    c.model_name = "clip"
+    c.model = ConfigDict()
+    c.model.image = ConfigDict(
+        dict(
+            variant=arg.img,
+            posemb="sincos2d",
+            pool_type="gap",
+            remat_policy=arg.remat,
+            mask_ratio=arg.mask_ratio,
+            attn_impl=arg.attn_impl,
+            emb_head_bias=False,
+            head_zeroinit=False,
+            dtype=arg.dtype,
+            param_dtype=arg.param_dtype,
+            output_tokens=True,
+        )
+    )
+    c.model.text = ConfigDict(
+        dict(
+            variant=arg.txt_name,
+            pool_type="last",
+            causal=False,
+            remat_policy=arg.remat,
+            attn_impl=arg.attn_impl,
+            head_zeroinit=False,
+            dtype=arg.dtype,
+            param_dtype=arg.param_dtype,
+            vocab_size=arg.vocab_size,
+            embed_cls=True,
+            output_tokens=True,
+        )
+    )
+    c.model.text_decoder = "text_decoder"
+    c.model.text_decoder_config = ConfigDict(
+        dict(
+            variant=arg.txt_decoder_name,
+            num_classes=arg.vocab_size,
+            dtype=arg.dtype,
+            param_dtype=arg.param_dtype,
+            remat_policy="none",
+            fusion_style="concat",
+            causal=True,
+            attn_impl="xla",
+            num_learnable_tokens=arg.output_token_len,
+            drop_token=0,
+        )
+    )
+    c.model.temperature_init = 1 / 0.07
+
+    if arg.use_sovit:
+        dim = 1152
+    else:
+        dim = {
+            "m": 32, "T": 192, "S": 384, "B": 512, "L": 768, "H": 1024, "g": 1024,
+        }[arg.img[0]]
+    c.model.out_dim = (dim if arg.img_head else None, dim)
+
+    # ----- optimizer / schedule -----
+    batch_size = c.input.batch_size
+    total_samples = IMAGENET_SAMPLES * arg.imagenet_epoch
+    warmup_samples = IMAGENET_SAMPLES * arg.vitual_warmup_epoch
+    c.total_steps = int(total_samples // batch_size) if not arg.runlocal else 1
+    c.optax_name = "scale_by_adam"
+    c.optax = dict(mu_dtype="bfloat16", b1=0.9, b2=0.95)
+    c.lr = arg.base_lr * 64 * arg.batch_factor
+    c.wd = 0.2
+    c.schedule = [
+        (
+            ".*",
+            dict(
+                decay_type="cosine",
+                warmup_steps=int(warmup_samples // batch_size),
+                min_lr=0,
+                max_lr=arg.base_lr * 64 * arg.batch_factor,
+            ),
+        )
+    ]
+
+    # ----- loss -----
+    c.loss_type = "coca"
+    c.coca_caption_loss_weight = 2.0
+    c.clip_loss_weight = 1.0
+    c.local_loss = True
+    c.cpu_unit8 = True
+
+    # ----- evals -----
+    c.eval_only = False
+    c.evals = ConfigDict()
+    sub = "[:4]" if arg.runlocal else ""
+    eval_tok = (
+        f'my_eval_bert_tokenize(inkey="texts", max_len={arg.token_len}, '
+        f'vocab_path="{arg.vocab_path}", add_bos=True, add_eos=True)'
+    )
+    eval_img_pp = (
+        f'|resize_small({arg.res}, method="bilinear", antialias=True)'
+        f"|central_crop({arg.res})|vgg_value_range"
+    )
+    c.evals.disclf = ConfigDict(
+        dict(
+            type="discriminative_classifier",
+            dataset_names=["imagenet2012"],
+            split=f"validation{sub}",
+            data_dir="",
+            pp_img=eval_img_pp,
+            pp_txt=eval_tok,
+            canonicalize=True,
+            first_class_name_only=False,
+            prefix="z/0shot/",
+            log_steps=int(2000 // arg.batch_factor),
+        )
+    )
+    c.evals.retrieval = ConfigDict(
+        dict(
+            type="retrieval",
+            dataset="coco_captions",
+            split="val",
+            data_dir="",
+            txt_name=("captions", "text"),
+            pp_img=eval_img_pp,
+            pp_txt=eval_tok,
+            log_steps=int(2000 // arg.batch_factor),
+        )
+    )
+
+    c.seed = 0
+    return c

@@ -23,7 +23,6 @@ from typing import Any, Sequence
 import jax
 import numpy as np
 from flax import linen as nn
-from flax.linen import spmd as nn_spmd
 from jax.experimental import mesh_utils
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -83,7 +82,7 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 def logical_axis_rules(rules=LOGICAL_AXIS_RULES):
     """Context manager activating the logical→mesh rules for flax modules."""
-    return nn_spmd.logical_axis_rules(rules)
+    return nn.logical_axis_rules(list(rules))
 
 
 def params_shardings(params_shape: Any, mesh: Mesh, rules=LOGICAL_AXIS_RULES):
