@@ -26,7 +26,7 @@ def parse_arg(arg: str | None, **defaults: Any) -> ml_collections.ConfigDict:
             continue
         key, val = part.split("=", 1)
         key = key.strip()
-        val = val.strip()
+        val = val.strip().strip("'\"")
         if key not in defaults:
             out[key] = _autocast(val)
             continue

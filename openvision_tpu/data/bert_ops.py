@@ -1,0 +1,143 @@
+"""BERT WordPiece tokenize ops for CLIP/CoCa training.
+
+Capability parity with reference src/transforms/bert_ops.py using the pure-
+Python WordPiece tokenizer (no tensorflow_text). Semantics preserved exactly
+(bert_ops.py:445-591):
+
+- `my_bert_tokenize` (the training op): samples a sub-caption from key1,
+  splits key2 text on [.!]+ and samples a sub-caption; emits
+    labels1 = [bos] + tokens(key1_sample) + [eos], pad/truncate to max_len-1
+              with eos overwritten onto the last slot when truncated,
+              then [CLS] appended at the END (open_clip convention),
+    labels2 = same for the key2 sample,
+    labels_for_regress = [bos] + tokens(FULL key2 text) + [eos] padded to
+              output_token_len (no CLS),
+    cap_loss_mask = pad-mask of labels_for_regress shifted left by the bos
+              (aligning with next-token targets) with a trailing 0.
+- `bert_tokenize`: classic CLS-first variant.
+- `my_eval_bert_tokenize`: eval op — labels = bos+tokens+eos+CLS like labels1.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import numpy as np
+
+from openvision_tpu.data.pp import inkey_outkey, pp_op
+from openvision_tpu.data.tokenizer import get_tokenizer
+
+
+def _as_text_list(x) -> List[str]:
+    if isinstance(x, (bytes, np.bytes_)):
+        return [x.decode("utf-8")]
+    if isinstance(x, str):
+        return [x]
+    arr = np.asarray(x).reshape(-1)
+    return [t.decode("utf-8") if isinstance(t, (bytes, np.bytes_)) else str(t) for t in arr]
+
+
+def _sample_text(texts: Sequence[str], rng, sample_if_multi=True) -> str:
+    texts = list(texts) + [""]
+    if sample_if_multi:
+        n = max(len(texts) - 1, 1)
+        return texts[int(rng.integers(0, n))]
+    return texts[0]
+
+
+def _pad_or_truncate(ids: List[int], length: int, pad_id: int):
+    """Returns (padded ids, mask) where mask marks real tokens."""
+    mask = [1] * min(len(ids), length) + [0] * max(0, length - len(ids))
+    out = (ids + [pad_id] * length)[:length]
+    return out, mask
+
+
+def _encode_special(tok, text: str, add_bos: bool, add_eos: bool) -> List[int]:
+    ids = tok.encode(text)
+    if add_bos:
+        ids = [tok.bos_id] + ids
+    if add_eos:
+        ids = ids + [tok.eos_id]
+    return ids
+
+
+def _finalize_clip_tokens(tok, ids: List[int], max_len: int, add_eos: bool):
+    """Pads/truncates to max_len-1, eos-overwrites on truncation, appends CLS."""
+    padded, mask = _pad_or_truncate(ids, max_len - 1, tok.pad_id)
+    if add_eos and mask[-1] == 1:
+        padded = padded[:-1] + [tok.eos_id]
+    return np.asarray(padded + [tok.cls_id], np.int32)
+
+
+def _split_subcaptions(text: str) -> List[str]:
+    import re
+
+    parts = re.split(r"[.!]+", text)
+    return [p for p in parts if len(p) > 0]
+
+
+@pp_op("bert_tokenize")
+@inkey_outkey(indefault=None, outdefault="labels")
+def get_bert_tokenize(vocab_path, max_len, sample_if_multi=True):
+    """Classic variant: [CLS] first, then tokens padded to max_len-1."""
+    tok = get_tokenizer(vocab_path)
+
+    def op(labels, rng):
+        txt = _sample_text(_as_text_list(labels), rng, sample_if_multi)
+        ids, _ = _pad_or_truncate(tok.encode(txt), max_len - 1, tok.pad_id)
+        return np.asarray([tok.cls_id] + ids, np.int32)
+
+    return op
+
+
+@pp_op("my_bert_tokenize")
+def get_my_bert_tokenize(max_len, output_token_len, vocab_path,
+                         add_bos=True, add_eos=True, sample_if_multi=True,
+                         key1="txt", key2="llava_caption"):
+    tok = get_tokenizer(vocab_path)
+
+    def op(data, rng):
+        # ----- labels1: sampled sub-caption from key1 -----
+        txt = _sample_text(_as_text_list(data[key1]), rng, sample_if_multi)
+        ids1 = _encode_special(tok, txt, add_bos, add_eos)
+        data["labels1"] = _finalize_clip_tokens(tok, ids1, max_len, add_eos)
+
+        # ----- labels2: sampled [.!]-split sub-caption from key2 -----
+        key2_text = " ".join(_as_text_list(data[key2]))
+        subs = _split_subcaptions(key2_text)
+        if subs:
+            sel = subs[int(rng.integers(0, len(subs)))]
+        else:
+            sel = txt
+            key2_text = txt
+        ids2 = _encode_special(tok, sel, add_bos, add_eos)
+        data["labels2"] = _finalize_clip_tokens(tok, ids2, max_len, add_eos)
+
+        # ----- labels_for_regress: FULL key2 text, no CLS -----
+        ids3 = _encode_special(tok, key2_text, add_bos, add_eos)
+        padded, mask = _pad_or_truncate(ids3, output_token_len, tok.pad_id)
+        if add_eos and mask[-1] == 1:
+            padded = padded[:-1] + [tok.eos_id]
+        data["labels_for_regress"] = np.asarray(padded, np.int32)
+
+        cap_mask = mask
+        if add_bos:
+            cap_mask = cap_mask[1:] + [0]
+        data["cap_loss_mask"] = np.asarray(cap_mask, np.float32)
+        return data
+
+    return op
+
+
+@pp_op("my_eval_bert_tokenize")
+def get_my_eval_bert_tokenize(inkey, max_len, vocab_path, add_bos=True,
+                              add_eos=True, sample_if_multi=True, outkey="labels"):
+    tok = get_tokenizer(vocab_path)
+
+    def op(data, rng):
+        txt = _sample_text(_as_text_list(data[inkey]), rng, sample_if_multi)
+        ids = _encode_special(tok, txt, add_bos, add_eos)
+        data[outkey] = _finalize_clip_tokens(tok, ids, max_len, add_eos)
+        return data
+
+    return op

@@ -1,0 +1,268 @@
+"""Input pipeline on grain (JAX's native data loader) + device placement.
+
+Capability parity with reference src/datasets/input_pipeline.py and
+src/datasets/core.py/tfds.py, redesigned TPU-first:
+
+- grain.DataLoader with per-process sharding (ShardByJaxProcess) replaces the
+  per-host tfds.even_splits + tf.data stack; worker processes replace the
+  tf.data thread pool.
+- preprocessing is the registry pp-string DSL over numpy dicts
+  (openvision_tpu/data/pp.py) with per-record deterministic RNG.
+- eval uses the reference's infinite-padding trick (input_pipeline.py:170-182):
+  the final short batch is zero-padded and a `_mask` key marks real examples.
+- host batches become global arrays with `local_batch_to_global` (one
+  device_put per batch; multi-host assembles via process-local data).
+
+Sources: synthetic (tests/benchmarks), in-memory dict-of-arrays, JSONL
+(image path/bytes + captions), and ArrayRecord files (grain-native). TFDS is
+gated behind availability (not installed in this image).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Callable, Iterator, Optional, Sequence
+
+import jax
+import numpy as np
+
+import grain.python as grain
+
+from openvision_tpu.data.pp import build_pp_fn, import_pp_modules
+from openvision_tpu.parallel import local_batch_to_global
+
+
+# ---------------------------------------------------------------------------
+# Sources
+# ---------------------------------------------------------------------------
+
+
+class SyntheticClipSource(grain.RandomAccessDataSource):
+    """Deterministic random images + captions (smoke tests, benchmarks)."""
+
+    _CAPTIONS = (
+        "a photo of a cat sitting on a mat",
+        "an aerial view of a city at night. bright lights everywhere!",
+        "two dogs playing in the snow",
+        "a close-up of a red flower. petals glisten with dew!",
+    )
+
+    def __init__(self, num_examples: int = 1024, height: int = 64, width: int = 64):
+        self._n = num_examples
+        self._h, self._w = height, width
+
+    def __len__(self) -> int:
+        return self._n
+
+    def __getitem__(self, i: int):
+        rng = np.random.default_rng(i)
+        img = rng.integers(0, 255, (self._h, self._w, 3), np.uint8)
+        cap = self._CAPTIONS[i % len(self._CAPTIONS)]
+        # "jpg" matches the webdataset feature name the reference pp strings
+        # address (configs/openvision.py:128).
+        return {"jpg": img, "txt": cap, "llava_caption": cap}
+
+
+class DictSource(grain.RandomAccessDataSource):
+    """In-memory dict-of-arrays source (eval sets, unit tests)."""
+
+    def __init__(self, data: dict[str, Any]):
+        self._data = data
+        lens = {len(v) for v in data.values()}
+        assert len(lens) == 1, f"ragged source: {lens}"
+        self._n = lens.pop()
+
+    def __len__(self):
+        return self._n
+
+    def __getitem__(self, i: int):
+        return {k: v[i] for k, v in self._data.items()}
+
+
+class JsonlImageSource(grain.RandomAccessDataSource):
+    """JSONL with {"image": <path>, "txt": ..., ...}; images loaded lazily."""
+
+    def __init__(self, jsonl_path: str, image_root: str = "", image_key: str = "image"):
+        with open(jsonl_path) as f:
+            self._rows = [json.loads(l) for l in f if l.strip()]
+        self._root = image_root
+        self._key = image_key
+
+    def __len__(self):
+        return len(self._rows)
+
+    def __getitem__(self, i: int):
+        row = dict(self._rows[i])
+        path = os.path.join(self._root, row[self._key])
+        with open(path, "rb") as f:
+            row[self._key] = f.read()
+        return row
+
+
+def get_source(data_cfg) -> grain.RandomAccessDataSource:
+    """Builds a source from config.input.data (name-dispatched)."""
+    name = data_cfg.get("name", "synthetic")
+    if name == "synthetic":
+        return SyntheticClipSource(
+            num_examples=data_cfg.get("num_examples", 1024),
+            height=data_cfg.get("res", 64),
+            width=data_cfg.get("res", 64),
+        )
+    if name == "jsonl":
+        return JsonlImageSource(
+            data_cfg["path"], data_cfg.get("image_root", ""),
+            data_cfg.get("image_key", "image"),
+        )
+    if name == "arrayrecord":
+        return grain.ArrayRecordDataSource(data_cfg["paths"])
+    if name == "tfds":
+        try:
+            import tensorflow_datasets as tfds  # noqa: F401
+        except ImportError as e:
+            raise ImportError("tensorflow_datasets is not available") from e
+        builder = __import__("tensorflow_datasets").builder_from_directory(
+            data_cfg["data_dir"]
+        )
+        return builder.as_data_source(split=data_cfg["split"])
+    raise ValueError(f"Unknown data source: {name!r}")
+
+
+# ---------------------------------------------------------------------------
+# Transforms
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class PpTransform(grain.RandomMapTransform):
+    """Applies a composed pp fn with grain's per-record deterministic RNG."""
+
+    pp_fn: Callable
+
+    def random_map(self, data, rng: np.random.Generator):
+        return self.pp_fn(dict(data), rng)
+
+
+# ---------------------------------------------------------------------------
+# Train pipeline
+# ---------------------------------------------------------------------------
+
+
+def training(input_cfg, *, seed: int = 0, num_workers: int = 0):
+    """Builds (grain iterator factory, num_examples) for training.
+
+    Local batch = global batch // process_count; sharding + shuffle + repeat
+    are grain-native. Returns (loader, total_examples).
+    """
+    import_pp_modules()
+    source = get_source(input_cfg.data)
+    pp_fn = build_pp_fn(input_cfg.pp)
+
+    global_bs = input_cfg.batch_size
+    assert global_bs % jax.process_count() == 0
+    local_bs = global_bs // jax.process_count()
+
+    sampler = grain.IndexSampler(
+        num_records=len(source),
+        shard_options=grain.ShardByJaxProcess(drop_remainder=True),
+        shuffle=True,
+        num_epochs=None,  # repeat forever
+        seed=seed,
+    )
+    loader = grain.DataLoader(
+        data_source=source,
+        sampler=sampler,
+        operations=[
+            PpTransform(pp_fn),
+            grain.Batch(batch_size=local_bs, drop_remainder=True),
+        ],
+        worker_count=num_workers,
+    )
+    return loader, len(source)
+
+
+def make_for_inference(
+    source: grain.RandomAccessDataSource,
+    pp_string: str,
+    batch_size: int,
+    *,
+    seed: int = 0,
+):
+    """Eval pipeline: one epoch, final batch zero-padded with a `_mask` key.
+
+    The infinite-padding trick from the reference (input_pipeline.py:141-182):
+    downstream metric code sums `_mask` to count real examples, so multihost
+    evals never hang on ragged final batches.
+    """
+    import_pp_modules()
+    pp_fn = build_pp_fn(pp_string) if pp_string else (lambda d, r: d)
+
+    local_bs = batch_size // jax.process_count()
+
+    def iterate() -> Iterator[dict]:
+        sampler = grain.IndexSampler(
+            num_records=len(source),
+            shard_options=grain.ShardByJaxProcess(drop_remainder=False),
+            shuffle=False,
+            num_epochs=1,
+            seed=seed,
+        )
+        loader = grain.DataLoader(
+            data_source=source,
+            sampler=sampler,
+            operations=[PpTransform(pp_fn)],
+            worker_count=0,
+        )
+        buf: list[dict] = []
+        for ex in loader:
+            ex["_mask"] = np.ones((), np.float32)
+            buf.append(ex)
+            if len(buf) == local_bs:
+                yield _stack(buf)
+                buf = []
+        if buf:
+            pad = {k: np.zeros_like(v) for k, v in buf[-1].items()}
+            while len(buf) < local_bs:
+                buf.append(dict(pad))
+            yield _stack(buf)
+
+    return iterate
+
+
+def _stack(examples: Sequence[dict]) -> dict:
+    keys = examples[0].keys()
+    return {k: np.stack([np.asarray(e[k]) for e in examples]) for k in keys}
+
+
+def start_input_pipeline(loader, mesh, *, prefetch: int = 1) -> Iterator[dict]:
+    """Host iterator → global sharded device batches, with host-side prefetch."""
+    import itertools
+    import queue
+    import threading
+
+    def device_iter():
+        for batch in iter(loader):
+            yield local_batch_to_global(batch, mesh)
+
+    if prefetch <= 0:
+        yield from device_iter()
+        return
+
+    q: queue.Queue = queue.Queue(maxsize=prefetch)
+    stop = object()
+
+    def producer():
+        try:
+            for item in device_iter():
+                q.put(item)
+        finally:
+            q.put(stop)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is stop:
+            return
+        yield item
