@@ -1,0 +1,242 @@
+"""The training application: config → mesh → data → train loop → evals.
+
+Capability parity with reference src/main_clip.py:78-783, restructured as a
+library function `train(config, workdir)` plus a CLI. One jitted update step
+(train/step.py), grain input (data/pipeline.py), Orbax checkpoints
+(train/checkpoint.py), Chrono/MetricWriter telemetry, evaluator hooks, and
+the init decision chain: resume own workdir > ft_from > train from scratch.
+
+CLI:
+  python -m openvision_tpu.train.trainer \
+      --config openvision_tpu/configs/openvision.py:res=84,img=L/14 \
+      --workdir /tmp/run1
+"""
+
+from __future__ import annotations
+
+import importlib
+import os
+import sys
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openvision_tpu import optim
+from openvision_tpu.data import pipeline as input_pipeline
+from openvision_tpu.parallel import (
+    batch_sharding,
+    create_mesh,
+    replicated_sharding,
+    unbox,
+)
+from openvision_tpu.train import checkpoint as ckpt_lib
+from openvision_tpu.train import step as step_mod
+from openvision_tpu.train.chrono import chrono
+from openvision_tpu.train.metrics import MetricWriter
+
+
+def steps(name, config, data_size, batch_size, total_steps=None, default=ValueError):
+    return optim.steps(name, config, data_size, batch_size, total_steps, default)
+
+
+def _should(step: int, every: Optional[int], total: int) -> bool:
+    if not every:
+        return False
+    return step % every == 0 or step == total
+
+
+def maybe_distributed_init():
+    """jax.distributed.initialize() when running under a multi-host launcher."""
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or int(
+        os.environ.get("JAX_NUM_PROCESSES", "1")
+    ) > 1:
+        jax.distributed.initialize()
+
+
+def build_evaluators(config, model, mesh, writer):
+    from openvision_tpu.evaluators import common as eval_common
+
+    return eval_common.from_config(config, model, mesh)
+
+
+def train(config, workdir: Optional[str] = None):
+    rng = jax.random.PRNGKey(config.get("seed", 0))
+    writer = MetricWriter(workdir, config)
+
+    def note(msg):
+        if jax.process_index() == 0:
+            print(f"NOTE: {msg}", flush=True)
+
+    # ----- mesh -----
+    mesh_cfg = config.sharding.get("mesh", {})
+    mesh = create_mesh(
+        data=mesh_cfg.get("data", -1),
+        fsdp=mesh_cfg.get("fsdp", 1),
+        tensor=mesh_cfg.get("tensor", 1),
+    )
+    note(f"mesh: {dict(mesh.shape)}")
+
+    # ----- data -----
+    batch_size = config.input.batch_size
+    assert batch_size % jax.device_count() == 0, (batch_size, jax.device_count())
+    loader, ntrain = input_pipeline.training(
+        config.input, seed=config.get("seed", 0),
+        num_workers=config.input.get("num_workers", 0),
+    )
+    train_iter = input_pipeline.start_input_pipeline(loader, mesh, prefetch=1)
+
+    total_steps = steps("total", config, ntrain, batch_size)
+    note(f"{total_steps} steps, {total_steps * batch_size / max(ntrain,1):.1f} epochs")
+    chrono.inform(
+        total_steps=total_steps, global_bs=batch_size,
+        steps_per_epoch=ntrain / batch_size,
+    )
+
+    # ----- model / optimizer / state -----
+    model = step_mod.build_model(config)
+    rng, rng_init = jax.random.split(rng)
+    train_state, state_sharding, tx, sched_fns = step_mod.init_train_state(
+        config, model, mesh, rng_init, total_steps=total_steps, data_size=ntrain
+    )
+    if jax.process_index() == 0:
+        n_params = sum(p.size for p in jax.tree.leaves(train_state["params"]))
+        writer.measure("num_params", n_params)
+        note(f"{n_params/1e6:.1f}M params")
+
+    update_fn = step_mod.jit_update_fn(
+        step_mod.make_update_fn(config, model, tx, mesh), state_sharding, mesh
+    )
+
+    # ----- checkpoint decision chain (reference main_clip.py:502-608) -----
+    ckpt_mngr = None
+    first_step = 0
+    if workdir and config.get("save_ckpt", True):
+        ckpt_mngr = ckpt_lib.create_checkpoint_manager(
+            os.path.join(workdir, "checkpoints"),
+            save_interval_steps=1,
+            max_to_keep=config.get("keep_ckpt_max", 1),
+        )
+
+    if ckpt_mngr and ckpt_mngr.latest_step() is not None:
+        note(f"resuming from step {ckpt_mngr.latest_step()}")
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding),
+            train_state,
+        )
+        train_state = ckpt_lib.restore_train_state(ckpt_mngr, abstract)
+        first_step = optim.get_count(train_state["opt"])
+    elif config.get("ft_from"):
+        note(f"finetuning from {config.ft_from}")
+        abstract_params = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding),
+            train_state["params"],
+        )
+        params = ckpt_lib.restore_params(config.ft_from, abstract_params)
+        train_state = {"params": params, "opt": train_state["opt"]}
+    elif config.get("masked_init"):
+        from openvision_tpu.utils import merge_params
+
+        note(f"masked init from {config.masked_init}")
+        loaded = ckpt_lib.load_npz(config.masked_init)
+        params_host = jax.device_get(train_state["params"])
+        merged = merge_params(
+            loaded, params_host, dont_load=config.get("dont_load", ())
+        )
+        train_state["params"] = jax.device_put(
+            merged, state_sharding["params"]
+        )
+
+    # ----- evaluators -----
+    evaluators = []
+    if config.get("evals"):
+        try:
+            evaluators = build_evaluators(config, model, mesh, writer)
+        except Exception as e:  # evaluator data may be absent in dev runs
+            note(f"evaluators disabled: {e}")
+
+    def run_evals(step, final=False):
+        for name, evaluator, log_steps, prefix in evaluators:
+            if final or _should(step, log_steps, total_steps):
+                chrono.pause(wait_for=jax.tree.leaves(train_state["params"]))
+                t0 = time.monotonic()
+                for metric_name, value in evaluator.run(train_state):
+                    writer.measure(f"{prefix}{metric_name}", value)
+                writer.measure(f"z/secs/eval/{name}", time.monotonic() - t0)
+                chrono.resume()
+
+    if config.get("eval_only", False):
+        writer.step_start(first_step)
+        run_evals(first_step, final=True)
+        writer.close()
+        return train_state
+
+    # ----- train loop -----
+    rng, rng_loop = jax.random.split(rng)
+    rng_loop = jax.device_put(rng_loop, replicated_sharding(mesh))
+    log_every = config.get("log_training_steps", 50)
+    ckpt_every = config.get("ckpt_steps", 1000)
+
+    note("starting training loop")
+    for step, batch in zip(range(first_step + 1, total_steps + 1), train_iter):
+        writer.step_start(step)
+        with jax.profiler.StepTraceAnnotation("train_step", step_num=step):
+            train_state, measurements = update_fn(train_state, batch, rng_loop)
+
+        if _should(step, log_every, total_steps):
+            for name, value in measurements.items():
+                writer.measure(name, value)
+            chrono.tick(step, writer.measure, note)
+            if jax.process_index() == 0:
+                loss = float(jax.device_get(measurements["training_loss"]))
+                note(f"step {step}/{total_steps} loss={loss:.4f}")
+
+        if ckpt_mngr and _should(step, ckpt_every, total_steps):
+            chrono.pause(wait_for=jax.tree.leaves(train_state["params"]))
+            ckpt_lib.save_train_state(ckpt_mngr, step, train_state)
+            chrono.resume()
+
+        run_evals(step)
+
+    if ckpt_mngr:
+        ckpt_mngr.wait_until_finished()
+    run_evals(total_steps, final=True)
+    writer.close()
+    return train_state
+
+
+def main(argv=None):
+    import argparse
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--config", required=True,
+                        help="path/to/config.py[:arg1=val,flag]")
+    parser.add_argument("--workdir", default=None)
+    parser.add_argument("--override", action="append", default=[],
+                        help="dotted config overrides: a.b.c=value")
+    args = parser.parse_args(argv)
+
+    cfg_path, _, cfg_arg = args.config.partition(":")
+    spec = importlib.util.spec_from_file_location("run_config", cfg_path)
+    cfg_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cfg_mod)
+    config = cfg_mod.get_config(cfg_arg or None)
+
+    for ov in args.override:
+        key, _, val = ov.partition("=")
+        node = config
+        parts = key.split(".")
+        for p in parts[:-1]:
+            node = node[p]
+        from openvision_tpu.configs.common import _autocast
+
+        node[parts[-1]] = _autocast(val)
+
+    maybe_distributed_init()
+    train(config, args.workdir)
+
+
+if __name__ == "__main__":
+    main()
