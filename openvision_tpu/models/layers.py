@@ -141,6 +141,10 @@ class MlpBlock(nn.Module):
             param_dtype=self.param_dtype,
         )(x)
         x = nn.gelu(x.astype(self.dtype), approximate=self.gelu_approx)
+        # Exposed for activation-maximization tools (feature_viz hooks GELU
+        # activations like reference cliptoolsoptimized.py:1149); recorded
+        # only when apply() is called with mutable=["intermediates"].
+        self.sow("intermediates", "gelu", x)
         x = logical(x, ACT_BLD)
         x = nn.Dropout(rate=self.dropout)(x, deterministic)
         x = nn.Dense(

@@ -88,7 +88,7 @@ class TextTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, text: jax.Array, *, train: bool = False):
-        x = nn.Embed(
+        embedding = nn.Embed(
             num_embeddings=self.vocab_size,
             features=self.width,
             dtype=jnp.float32,  # fp32 embeds for logit/training stability
@@ -96,7 +96,14 @@ class TextTransformer(nn.Module):
             embedding_init=nn.with_logical_partitioning(
                 nn.initializers.normal(stddev=0.02), ("vocab", "embed")
             ),
-        )(text.astype(jnp.int32))
+        )
+        if text.ndim == 3:
+            # Soft one-hot tokens (gradient-ascent tool): text @ embedding
+            # matrix, like reference ov-gradient-ascent.py:106.
+            table = embedding(jnp.arange(self.vocab_size))
+            x = text.astype(jnp.float32) @ table
+        else:
+            x = embedding(text.astype(jnp.int32))
         _, l, d = x.shape
 
         x = logical(x, ACT_BLD)
