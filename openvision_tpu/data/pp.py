@@ -78,7 +78,9 @@ def build_pp_fn(pp_string: str) -> Callable:
     return composed
 
 
-def import_pp_modules(names=("ops_general", "ops_image", "ops_text", "bert_ops")):
+def import_pp_modules(
+    names=("ops_general", "ops_image", "ops_text", "bert_ops", "ops_aug")
+):
     """Imports op modules so their registrations run (reference main_clip.py:104)."""
     import importlib
 

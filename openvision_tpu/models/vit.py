@@ -83,17 +83,23 @@ class MAPHead(nn.Module):
         return x[:, 0]
 
 
-def random_token_masking(
-    x: jax.Array, mask_ratio: float, rng: jax.Array
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """MAE-style random masking: keep a uniform subset of tokens.
+# (mask_ratio → candidate window heights/widths) for 'square' masking on a
+# 14x14 grid — same tables as reference vit.py:476-520.
+_SQUARE_WINDOWS = {
+    0.5: ([3, 14], [14, 3]),
+    0.25: ([16, 12], [12, 16]),
+    0.525: ([11], [11]),
+    0.4375: ([12], [12]),
+    0.75: ([7], [7]),
+    0.816: ([4, 6, 9], [9, 6, 4]),
+    0.875: ([2, 3, 4, 6, 8, 12], [12, 8, 6, 4, 3, 2]),
+    0.918: ([2, 4, 8], [8, 4, 2]),
+}
 
-    Returns (kept_tokens, mask, ids_restore); mask is 1 where removed.
-    (reference vit.py:464-636 'random' mode; square/per2x2 modes TBD)
-    """
+
+def _keep_by_noise(x, noise, len_keep):
+    """Sorts per-sample noise ascending, keeping the lowest-noise tokens."""
     n, l, _ = x.shape
-    len_keep = int(l * (1.0 - mask_ratio))
-    noise = jax.random.uniform(rng, (n, l))
     ids_shuffle = jnp.argsort(noise, axis=1)
     ids_restore = jnp.argsort(ids_shuffle, axis=1)
     ids_keep = ids_shuffle[:, :len_keep]
@@ -102,6 +108,69 @@ def random_token_masking(
     mask = mask.at[:, :len_keep].set(0)
     mask = jnp.take_along_axis(mask, ids_restore, axis=1)
     return x_masked, mask, ids_restore
+
+
+def random_token_masking(
+    x: jax.Array,
+    mask_ratio: float,
+    rng: jax.Array,
+    mask_mode: str = "random",
+    height: int = 14,
+    width: int = 14,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """MAE-style token masking; returns (kept_tokens, mask, ids_restore).
+
+    Modes (reference vit.py:464-636): 'random' uniform subset; 'square' keeps
+    a random rectangular window (sizes per _SQUARE_WINDOWS); and
+    'per2x2_random_grid' keeps a random cell of each 2x2 patch block.
+    """
+    n, l, _ = x.shape
+    len_keep = int(l * (1.0 - mask_ratio))
+
+    if mask_mode == "random":
+        noise = jax.random.uniform(rng, (n, l))
+        return _keep_by_noise(x, noise, len_keep)
+
+    if mask_mode == "square":
+        hs, ws = _SQUARE_WINDOWS[mask_ratio]
+        k_idx, k_top, k_left = jax.random.split(rng, 3)
+        pick = jax.random.randint(k_idx, (n,), 0, len(hs))
+        mh = jnp.asarray(hs)[pick]
+        mw = jnp.asarray(ws)[pick]
+        top = jax.random.randint(k_top, (n,), 0, height)
+        left = jax.random.randint(k_left, (n,), 0, width)
+        top = jnp.minimum(top, height - mh)
+        left = jnp.minimum(left, width - mw)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (n, height, width), 1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (n, height, width), 2)
+        window = (
+            (rows >= top[:, None, None])
+            & (rows < (top + mh)[:, None, None])
+            & (cols >= left[:, None, None])
+            & (cols < (left + mw)[:, None, None])
+        )
+        # Low noise = keep → the window is the kept region.
+        noise = (~window).astype(jnp.float32).reshape(n, l)
+        return _keep_by_noise(x, noise, len_keep)
+
+    if mask_mode == "per2x2_random_grid":
+        assert mask_ratio in (0.25, 0.5, 0.75), mask_ratio
+        h2, w2 = height // 2, width // 2
+        if mask_ratio == 0.5:
+            # keep 2 of 4 cells per 2x2 block
+            scores = jax.random.uniform(rng, (n, h2, w2, 4))
+        else:
+            scores = jax.random.uniform(rng, (n, h2, w2, 4))
+        order = jnp.argsort(scores, axis=-1)
+        keep_cells = {0.25: 3, 0.5: 2, 0.75: 1}[mask_ratio]
+        rank = jnp.argsort(order, axis=-1)  # rank of each cell
+        keep = rank < keep_cells  # (n, h2, w2, 4) bool
+        keep = keep.reshape(n, h2, w2, 2, 2)
+        keep = jnp.transpose(keep, (0, 1, 3, 2, 4)).reshape(n, height, width)
+        noise = (~keep).astype(jnp.float32).reshape(n, l)
+        return _keep_by_noise(x, noise, len_keep)
+
+    raise ValueError(f"Unknown mask_mode: {mask_mode!r}")
 
 
 class ViT(nn.Module):
@@ -124,6 +193,7 @@ class ViT(nn.Module):
     chunk: int = 128
     scan_mlp: bool = False
     mask_ratio: float = 0.0
+    mask_mode: str = "random"  # "random" | "square" | "per2x2_random_grid"
     emb_head_bias: bool = True
     head_zeroinit: bool = False
     final_drop: float = 0.0
@@ -154,6 +224,24 @@ class ViT(nn.Module):
             )(image)
             n, h, w, c = x.shape
             x = x.reshape(n, h * w, c)
+        elif self.patch_embedding == "stem":
+            # 3-conv stem + 1x1 projection (reference vit.py:677-698).
+            x = image
+            for i, (wd, st) in enumerate(zip((96, 192, 384), (1, 2, 2))):
+                x = nn.Conv(
+                    wd, (3, 3), strides=st, padding="SAME",
+                    kernel_init=nn.initializers.kaiming_uniform(),
+                    name=f"stem_{i}",
+                )(x)
+                x = nn.LayerNorm(name=f"stem_norm_{i}")(x)
+                x = nn.gelu(x)
+            x = nn.Conv(
+                self.width, (1, 1), strides=1, padding="SAME",
+                kernel_init=nn.initializers.kaiming_uniform(),
+                name="embedding",
+            )(x)
+            n, h, w, c = x.shape
+            x = x.reshape(n, h * w, c)
         elif self.patch_embedding == "linear":
             p = self.patch_size[0]
             n = image.shape[0]
@@ -182,7 +270,8 @@ class ViT(nn.Module):
         if self.mask_ratio > 0 and train:
             cls_tok, rest = x[:, :1], x[:, 1:]
             rest, _, _ = random_token_masking(
-                rest, self.mask_ratio, self.make_rng("random_mask")
+                rest, self.mask_ratio, self.make_rng("random_mask"),
+                mask_mode=self.mask_mode, height=h, width=w,
             )
             x = jnp.concatenate([cls_tok, rest], axis=1)
 
