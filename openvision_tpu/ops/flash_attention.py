@@ -61,6 +61,24 @@ def _fwd_kernel_single_k(
     q_ref, k_ref, v_ref, o_ref, lse_ref,
     *, sm_scale, block_q, block_k, seq_q, seq_k, causal,
 ):
+    _single_k_body(q_ref, k_ref, v_ref, o_ref, lse_ref,
+                   qi=pl.program_id(1), block_q=block_q, block_k=block_k,
+                   seq_q=seq_q, seq_k=seq_k, causal=causal)
+
+
+def _fwd_kernel_single_k_nolse(
+    q_ref, k_ref, v_ref, o_ref,
+    *, sm_scale, block_q, block_k, seq_q, seq_k, causal,
+):
+    _single_k_body(q_ref, k_ref, v_ref, o_ref, None,
+                   qi=pl.program_id(1), block_q=block_q, block_k=block_k,
+                   seq_q=seq_q, seq_k=seq_k, causal=causal)
+
+
+def _single_k_body(
+    q_ref, k_ref, v_ref, o_ref, lse_ref,
+    *, qi, block_q, block_k, seq_q, seq_k, causal,
+):
     """Fast path when all keys fit one block: plain fused softmax-attention.
 
     VPU-lean by design (softmax is the bottleneck at CLIP shapes, not FLOPs):
@@ -71,7 +89,6 @@ def _fwd_kernel_single_k(
     - the normalizing divide runs over (bq, D), not (bq, bk),
     - padded q rows produce garbage and are sliced off by the caller.
     """
-    qi = pl.program_id(1)
     q = q_ref[...]  # (G, bq, D), already scaled by sm_scale
     k = k_ref[...]
     v = v_ref[...]
@@ -90,10 +107,11 @@ def _fwd_kernel_single_k(
         p.astype(v.dtype), v, _PV, preferred_element_type=jnp.float32
     )
     o_ref[...] = (o / l_safe).astype(o_ref.dtype)
-    lse = m + jnp.log(l_safe)
-    lse_ref[...] = jnp.broadcast_to(
-        jnp.swapaxes(lse, 1, 2), lse_ref.shape
-    ).astype(lse_ref.dtype)
+    if lse_ref is not None:
+        lse = m + jnp.log(l_safe)
+        lse_ref[...] = jnp.broadcast_to(
+            jnp.swapaxes(lse, 1, 2), lse_ref.shape
+        ).astype(lse_ref.dtype)
 
 
 def _fwd_kernel(
@@ -281,7 +299,8 @@ def _pad_flat(x, b, h, s_p, d):
     return jnp.pad(x, ((0, 0), (0, 0), (0, s_p - s), (0, 0))).reshape(b * h, s_p, d)
 
 
-def _fwd_impl(q, k, v, causal, sm_scale, block_q, block_k, group, interpret):
+def _fwd_impl(q, k, v, causal, sm_scale, block_q, block_k, group, interpret,
+              save_lse=True):
     b, h, sq, d = q.shape
     sk = k.shape[2]
     g, bq, bk, sq_p, sk_p = _plan(b * h, sq, sk, block_q, block_k, group)
@@ -301,7 +320,7 @@ def _fwd_impl(q, k, v, causal, sm_scale, block_q, block_k, group, interpret):
 
     if single_k:
         kernel = functools.partial(
-            _fwd_kernel_single_k,
+            _fwd_kernel_single_k if save_lse else _fwd_kernel_single_k_nolse,
             sm_scale=sm_scale, block_q=bq, block_k=bk,
             seq_q=sq, seq_k=sk, causal=causal,
         )
@@ -317,7 +336,13 @@ def _fwd_impl(q, k, v, causal, sm_scale, block_q, block_k, group, interpret):
             pltpu.VMEM((g, bq, LANES), jnp.float32),
             pltpu.VMEM((g, bq, d), jnp.float32),
         ]
-    o, lse = pl.pallas_call(
+    out_specs = [pl.BlockSpec((g, bq, dv), lambda b_, qi, ki: (b_, qi, 0))]
+    out_shape = [jax.ShapeDtypeStruct((b * h, sq_p, dv), q.dtype)]
+    if save_lse or not single_k:
+        out_specs.append(pl.BlockSpec((g, 8, bq), lambda b_, qi, ki: (b_, 0, qi)))
+        out_shape.append(jax.ShapeDtypeStruct((b * h, 8, sq_p), jnp.float32))
+
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -325,17 +350,13 @@ def _fwd_impl(q, k, v, causal, sm_scale, block_q, block_k, group, interpret):
             pl.BlockSpec((g, bk, d), lambda b_, qi, ki: (b_, ki, 0)),
             pl.BlockSpec((g, bk, dv), lambda b_, qi, ki: (b_, ki, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((g, bq, dv), lambda b_, qi, ki: (b_, qi, 0)),
-            pl.BlockSpec((g, 8, bq), lambda b_, qi, ki: (b_, 0, qi)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b * h, sq_p, dv), q.dtype),
-            jax.ShapeDtypeStruct((b * h, 8, sq_p), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=interpret,
     )(qf, kf, vf)
+    o = outs[0]
+    lse = outs[1] if len(outs) > 1 else None
 
     o = o.reshape(b, h, sq_p, dv)[:, :, :sq, :d]
     return o, lse
@@ -421,7 +442,10 @@ def _bwd_impl(q, k, v, o, lse, do, causal, sm_scale, block_q, block_k, group, in
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
 def _flash(q, k, v, causal, sm_scale, block_q, block_k, group, interpret):
-    o, _ = _fwd_impl(q, k, v, causal, sm_scale, block_q, block_k, group, interpret)
+    o, _ = _fwd_impl(
+        q, k, v, causal, sm_scale, block_q, block_k, group, interpret,
+        save_lse=False,
+    )
     return o
 
 
