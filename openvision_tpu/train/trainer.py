@@ -56,6 +56,40 @@ def maybe_distributed_init():
         jax.distributed.initialize()
 
 
+def _load_transform(config, init_params, params_sharding):
+    """Restores a checkpoint trained at a different geometry, adapting
+    patch-embedding (bilinear kernel resize) and position embeddings."""
+    import jax.numpy as jnp
+
+    from openvision_tpu.models.vit import resample_posemb
+
+    loaded = ckpt_lib.restore_params(config.load_transform, None)
+    params_host = jax.device_get(jax.tree.map(lambda x: x, init_params))
+
+    img = dict(loaded.get("img", {}))
+    if "embedding" in img and "embedding" in params_host.get("img", {}):
+        old_k = np.asarray(img["embedding"]["kernel"])
+        new_shape = params_host["img"]["embedding"]["kernel"].shape
+        if old_k.shape != new_shape:
+            img["embedding"] = dict(img["embedding"])
+            img["embedding"]["kernel"] = np.asarray(
+                jax.image.resize(jnp.asarray(old_k), new_shape, method="bilinear")
+            )
+    if "pos_embedding" in img and "pos_embedding" in params_host.get("img", {}):
+        img["pos_embedding"] = np.asarray(
+            resample_posemb(
+                jnp.asarray(img["pos_embedding"]),
+                params_host["img"]["pos_embedding"].shape[1],
+            )
+        )
+    loaded = dict(loaded, img=img)
+
+    from openvision_tpu.utils import merge_params
+
+    merged = merge_params(loaded, params_host, dont_load=config.get("dont_load", ()))
+    return jax.device_put(merged, params_sharding)
+
+
 def build_evaluators(config, model, mesh, writer):
     from openvision_tpu.evaluators import common as eval_common
 
@@ -136,6 +170,14 @@ def train(config, workdir: Optional[str] = None):
         )
         params = ckpt_lib.restore_params(config.ft_from, abstract_params)
         train_state = {"params": params, "opt": train_state["opt"]}
+    elif config.get("load_transform"):
+        # Re-init under a different model geometry: restore a foreign
+        # checkpoint, bilinearly resize its patch embedding and resample its
+        # posemb to this model's shapes (reference main_clip.py:231-316).
+        note(f"load_transform from {config.load_transform}")
+        train_state["params"] = _load_transform(
+            config, train_state["params"], state_sharding["params"]
+        )
     elif config.get("masked_init"):
         from openvision_tpu.utils import merge_params
 
@@ -179,11 +221,21 @@ def train(config, workdir: Optional[str] = None):
     log_every = config.get("log_training_steps", 50)
     ckpt_every = config.get("ckpt_steps", 1000)
 
+    # Real profiler wiring (the reference left this as a TODO stub,
+    # utils.py:818-831): trace steps [profile_start, profile_stop) to workdir.
+    prof_start = config.get("profile_start_step", 0)
+    prof_stop = config.get("profile_stop_step", 0)
+
     note("starting training loop")
     for step, batch in zip(range(first_step + 1, total_steps + 1), train_iter):
         writer.step_start(step)
+        if workdir and prof_stop and step == prof_start and jax.process_index() == 0:
+            jax.profiler.start_trace(os.path.join(workdir, "profile"))
         with jax.profiler.StepTraceAnnotation("train_step", step_num=step):
             train_state, measurements = update_fn(train_state, batch, rng_loop)
+        if workdir and prof_stop and step == prof_stop and jax.process_index() == 0:
+            jax.block_until_ready(measurements)
+            jax.profiler.stop_trace()
 
         if _should(step, log_every, total_steps):
             for name, value in measurements.items():
