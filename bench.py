@@ -55,7 +55,7 @@ def main():
         head_zeroinit=False,
         dtype="bfloat16",
         param_dtype="bfloat16",
-        attn_impl="xla",
+        attn_impl="fused",
     )
     rng = jax.random.PRNGKey(0)
     image_small = jnp.zeros((1, 224, 224, 3), jnp.bfloat16)

@@ -26,6 +26,39 @@ from openvision_tpu.ops import dispatch_attention
 Dtype = Any
 
 
+class _ProjParams(nn.Module):
+    """Holds a Dense-shaped (kernel, bias) without applying it.
+
+    Gives the fused QKV+attention kernel raw weight access while keeping the
+    exact `query/kernel` etc. param layout of nn.Dense (checkpoint compat).
+    """
+
+    in_features: int
+    features: int
+    use_bias: bool
+    kernel_init: Callable
+    bias_init: Callable
+    param_dtype: Dtype
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel",
+            nn.with_logical_partitioning(self.kernel_init, ("embed", "mlp")),
+            (self.in_features, self.features),
+            self.param_dtype,
+        )
+        bias = None
+        if self.use_bias:
+            bias = self.param(
+                "bias",
+                nn.with_logical_partitioning(self.bias_init, (None,)),
+                (self.features,),
+                self.param_dtype,
+            )
+        return kernel, bias
+
+
 class MultiHeadAttention(nn.Module):
     num_heads: int
     qkv_init: Callable = nn.initializers.normal(stddev=0.02)
@@ -53,8 +86,57 @@ class MultiHeadAttention(nn.Module):
         assert features % self.num_heads == 0, (features, self.num_heads)
         head_dim = features // self.num_heads
 
+        # Fused QKV+attention kernel path: self-attention, no external mask,
+        # no cache, plain-Dense params (the common CLIP encoder case).
+        use_fused = (
+            self.attn_impl == "fused"
+            and inputs_q is inputs_kv
+            and mask is None
+            and not self.decode
+            and not self.use_dense_general
+            and (self.dropout_rate == 0.0 or deterministic)
+        )
         inputs_q = logical(inputs_q, ACT_BLD)
         inputs_kv = logical(inputs_kv, ACT_BLD)
+        if use_fused:
+            from openvision_tpu.ops.fused_attention import fused_qkv_attention
+
+            def proj_params(name):
+                return _ProjParams(
+                    in_features=features,
+                    features=features,
+                    use_bias=self.use_bias,
+                    kernel_init=self.qkv_init,
+                    bias_init=self.bias_init,
+                    param_dtype=self.param_dtype,
+                    name=name,
+                )()
+
+            wq, bq = proj_params("query")
+            wk, bk = proj_params("key")
+            wv, bv = proj_params("value")
+            x = fused_qkv_attention(
+                inputs_q.astype(self.dtype),
+                wq.astype(self.dtype), wk.astype(self.dtype),
+                wv.astype(self.dtype),
+                bq, bk, bv,
+                num_heads=self.num_heads,
+                causal=self.causal,
+                interpret=jax.devices()[0].platform not in ("tpu", "axon"),
+            )
+            x = logical(x, ACT_BLD)
+            out = nn.Dense(
+                features,
+                kernel_init=nn.with_logical_partitioning(
+                    self.out_init, ("mlp", "embed")
+                ),
+                bias_init=nn.with_logical_partitioning(self.bias_init, (None,)),
+                use_bias=self.use_bias,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="out",
+            )(x)
+            return logical(out, ACT_BLD)
 
         if self.use_dense_general:
             def proj_in(name):
@@ -120,6 +202,8 @@ class MultiHeadAttention(nn.Module):
             dropout_rng = self.make_rng("dropout")
 
         impl = self.attn_impl if mask is None else "xla"
+        if impl == "fused":  # fused preconditions unmet — unfused XLA fallback
+            impl = "xla"
         x = dispatch_attention(
             impl,
             q,

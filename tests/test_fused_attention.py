@@ -1,0 +1,83 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openvision_tpu.models import vit as vit_mod
+from openvision_tpu.ops.fused_attention import _reference, fused_qkv_attention
+
+
+def _inputs(b=2, l=50, d=64, seed=0):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 8)
+    y = jax.random.normal(ks[0], (b, l, d))
+    wq, wk, wv = (jax.random.normal(k, (d, d)) * 0.05 for k in ks[1:4])
+    bq, bk, bv = (jax.random.normal(k, (d,)) * 0.02 for k in ks[4:7])
+    return y, wq, wk, wv, bq, bk, bv
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_fused_matches_reference(causal):
+    y, wq, wk, wv, bq, bk, bv = _inputs()
+    out = fused_qkv_attention(
+        y, wq, wk, wv, bq, bk, bv, num_heads=4, causal=causal, interpret=True
+    )
+    biases = jnp.stack([bq, bk, bv])
+    ref = _reference(y, wq, wk, wv, biases, 4, (64 // 4) ** -0.5, causal)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2, rtol=2e-2)
+
+
+def test_fused_grads_match_reference():
+    y, wq, wk, wv, bq, bk, bv = _inputs(l=20)
+
+    def loss_fused(y, wq):
+        return jnp.sum(
+            fused_qkv_attention(
+                y, wq, wk, wv, bq, bk, bv, num_heads=4, interpret=True
+            ).astype(jnp.float32) ** 2
+        )
+
+    def loss_ref(y, wq):
+        biases = jnp.stack([bq, bk, bv])
+        return jnp.sum(
+            _reference(y, wq, wk, wv, biases, 4, 4.0 ** -1, False).astype(
+                jnp.float32
+            ) ** 2
+        )
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1))(y, wq)
+    g2 = jax.grad(loss_ref, argnums=(0, 1))(y, wq)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-2, rtol=5e-2)
+
+
+def test_vit_fused_impl_matches_xla():
+    cfg = dict(
+        variant="mu/16", posemb="sincos2d", pool_type="gap",
+        output_tokens=True, emb_head_bias=False,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 32, 32, 3))
+    ref = vit_mod.Model(num_classes=32, **cfg)
+    params = ref.init(jax.random.PRNGKey(0), x)["params"]
+    out_ref, _ = ref.apply({"params": params}, x)
+    fused = vit_mod.Model(num_classes=32, **{**cfg, "attn_impl": "fused"})
+    # identical param structure: fused model accepts the same params
+    out_fused, _ = fused.apply({"params": params}, x)
+    np.testing.assert_allclose(
+        np.asarray(out_fused), np.asarray(out_ref), atol=2e-3, rtol=2e-3
+    )
+
+
+def test_fused_text_causal_matches_xla():
+    from openvision_tpu.models import text as text_mod
+
+    cfg = dict(variant="Ti", pool_type="last", vocab_size=64, output_tokens=True,
+               causal=True)
+    x = jax.random.randint(jax.random.PRNGKey(1), (2, 12), 0, 64)
+    ref = text_mod.Model(num_classes=32, **cfg)
+    params = ref.init(jax.random.PRNGKey(0), x)["params"]
+    out_ref, _ = ref.apply({"params": params}, x)
+    fused = text_mod.Model(num_classes=32, **{**cfg, "attn_impl": "fused"})
+    out_fused, _ = fused.apply({"params": params}, x)
+    np.testing.assert_allclose(
+        np.asarray(out_fused), np.asarray(out_ref), atol=2e-3, rtol=2e-3
+    )
