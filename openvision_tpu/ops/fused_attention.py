@@ -40,13 +40,18 @@ def _ceil_to(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _pick_hchunk(num_heads: int, head_dim: int, lp: int) -> int:
-    """Heads per inner iteration, keeping the f32 score chunk ≤ ~2.5MB."""
+def _pick_hchunk(num_heads: int, head_dim: int, lp: int, cap: int | None = None) -> int:
+    """Heads per inner iteration: the largest divisor of num_heads whose f32
+    score chunk stays ≤ ~2.5MB (and ≤ cap, for VMEM-heavier kernels)."""
     budget = int(2.5 * 1024 * 1024)
-    c = num_heads
-    while c > 1 and c * lp * lp * 4 > budget:
-        c //= 2
-    return max(c, 1)
+    best = 1
+    for c in range(1, num_heads + 1):
+        if num_heads % c:
+            continue
+        if c * lp * lp * 4 > budget or (cap is not None and c > cap):
+            continue
+        best = c
+    return best
 
 
 def _kernel(
@@ -212,3 +217,196 @@ def fused_qkv_attention(
         [b if b is not None else zeros for b in (bq, bk, bv)]
     )
     return _fused(y, wq, wk, wv, biases, num_heads, sm_scale, causal, interpret)
+
+
+# ---------------------------------------------------------------------------
+# Full MHSA-block fusion: pre-LN + QKV + attention + out-proj + residual
+# ---------------------------------------------------------------------------
+
+
+def _block_kernel(
+    x_ref, wq_ref, wk_ref, wv_ref, wo_ref, vec_ref, o_ref,
+    *, num_heads, head_dim, lp, seq, causal, hchunk, eps,
+):
+    """One whole pre-LN attention sub-block per grid step.
+
+    vec_ref rows: 0=ln_scale, 1=ln_bias, 2=bq(scaled), 3=bk, 4=bv, 5=bo.
+    x block is (LP, D); LN reduces over lanes; the transposed attention core
+    is identical to `_kernel`; out-proj + residual close the block in-kernel.
+    """
+    x = x_ref[0]
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=1, keepdims=True) - mean * mean
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = (y * vec_ref[0:1, :] + vec_ref[1:2, :]).astype(x.dtype)
+    yT = y.T
+
+    d = num_heads * head_dim
+    parts = []
+    for c in range(num_heads // hchunk):
+        rows = slice(c * hchunk * head_dim, (c + 1) * hchunk * head_dim)
+        dims = (((1,), (0,)), ((), ()))
+        qT = jax.lax.dot_general(wq_ref[rows, :], yT, dims,
+                                 preferred_element_type=jnp.float32)
+        kT = jax.lax.dot_general(wk_ref[rows, :], yT, dims,
+                                 preferred_element_type=jnp.float32)
+        vT = jax.lax.dot_general(wv_ref[rows, :], yT, dims,
+                                 preferred_element_type=jnp.float32)
+        qT = qT + jnp.swapaxes(vec_ref[2:3, rows], 0, 1)
+        kT = kT + jnp.swapaxes(vec_ref[3:4, rows], 0, 1)
+        vT = vT + jnp.swapaxes(vec_ref[4:5, rows], 0, 1)
+
+        cdt = x.dtype
+        q3 = qT.astype(cdt).reshape(hchunk, head_dim, lp)
+        k3 = kT.astype(cdt).reshape(hchunk, head_dim, lp)
+        v3 = vT.astype(cdt).reshape(hchunk, head_dim, lp)
+
+        sT = jax.lax.dot_general(
+            k3, q3, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        krow = jax.lax.broadcasted_iota(jnp.int32, (1, lp, lp), 1)
+        valid = krow < seq
+        if causal:
+            qcol = jax.lax.broadcasted_iota(jnp.int32, (1, lp, lp), 2)
+            valid &= krow <= qcol
+        sT = jnp.where(valid, sT, NEG_INF)
+
+        m = jnp.max(sT, axis=1, keepdims=True)
+        p = jnp.exp(sT - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        l = jnp.where(l <= 0.0, 1.0, l)
+        oT = jax.lax.dot_general(
+            v3, p.astype(cdt), (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        parts.append((oT / l).reshape(hchunk * head_dim, lp).astype(cdt))
+
+    oT = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+    outT = jax.lax.dot_general(
+        wo_ref[...], oT, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    outT = outT + jnp.swapaxes(vec_ref[5:6, :], 0, 1)
+    o_ref[0] = outT.T.astype(o_ref.dtype) + x
+
+
+def _block_reference(x, wq, wk, wv, wo, vec, num_heads, sm_scale, causal, eps):
+    """Unfused math-equivalent of the block kernel (backward pass)."""
+    b, l, d = x.shape
+    hd = d // num_heads
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, -1, keepdims=True)
+    var = jnp.var(xf, -1, keepdims=True)
+    y = ((xf - mean) * jax.lax.rsqrt(var + eps) * vec[0] + vec[1]).astype(x.dtype)
+    q = (y @ wq * sm_scale + vec[2]).reshape(b, l, num_heads, hd)
+    k = (y @ wk + vec[3]).reshape(b, l, num_heads, hd)
+    v = (y @ wv + vec[4]).reshape(b, l, num_heads, hd)
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
+    if causal:
+        s = jnp.where(jnp.tril(jnp.ones((l, l), bool)), s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1).astype(x.dtype)
+    o = jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(b, l, d)
+    return x + (o @ wo + vec[5]).astype(x.dtype)
+
+
+def _block_fwd_impl(x, wq, wk, wv, wo, vec, num_heads, sm_scale, causal, eps,
+                    interpret):
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, l, d = x.shape
+    head_dim = d // num_heads
+    lp = _ceil_to(l, 128)
+    hchunk = _pick_hchunk(num_heads, head_dim, lp, cap=2)
+
+    xp = jnp.pad(x, ((0, 0), (0, lp - l), (0, 0)))
+    wqT = (wq * sm_scale).T.astype(x.dtype)
+    wkT = wk.T.astype(x.dtype)
+    wvT = wv.T.astype(x.dtype)
+    woT = wo.T.astype(x.dtype)
+    vec_scaled = vec.at[2].multiply(sm_scale).astype(jnp.float32)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _block_kernel, num_heads=num_heads, head_dim=head_dim, lp=lp,
+            seq=l, causal=causal, hchunk=hchunk, eps=eps,
+        ),
+        grid=(b, 1, 1),
+        in_specs=[
+            pl.BlockSpec((1, lp, d), lambda i, _, __: (i, 0, 0)),
+            pl.BlockSpec((d, d), lambda i, _, __: (0, 0)),
+            pl.BlockSpec((d, d), lambda i, _, __: (0, 0)),
+            pl.BlockSpec((d, d), lambda i, _, __: (0, 0)),
+            pl.BlockSpec((d, d), lambda i, _, __: (0, 0)),
+            pl.BlockSpec((8, d), lambda i, _, __: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, lp, d), lambda i, _, __: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, lp, d), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(xp, wqT, wkT, wvT, woT, vec_scaled)
+    return out[:, :l]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+def _fused_block(x, wq, wk, wv, wo, vec, num_heads, sm_scale, causal, eps,
+                 interpret):
+    return _block_fwd_impl(x, wq, wk, wv, wo, vec, num_heads, sm_scale,
+                           causal, eps, interpret)
+
+
+def _fused_block_fwd(x, wq, wk, wv, wo, vec, num_heads, sm_scale, causal, eps,
+                     interpret):
+    out = _block_fwd_impl(x, wq, wk, wv, wo, vec, num_heads, sm_scale, causal,
+                          eps, interpret)
+    return out, (x, wq, wk, wv, wo, vec)
+
+
+def _fused_block_bwd(num_heads, sm_scale, causal, eps, interpret, res, g):
+    x, wq, wk, wv, wo, vec = res
+    _, vjp = jax.vjp(
+        lambda x_, a, b_, c, d_, v_: _block_reference(
+            x_, a, b_, c, d_, v_, num_heads, sm_scale, causal, eps
+        ),
+        x, wq, wk, wv, wo, vec,
+    )
+    return vjp(g)
+
+
+_fused_block.defvjp(_fused_block_fwd, _fused_block_bwd)
+
+
+def fused_mhsa_block(
+    x: jax.Array,
+    ln_scale: jax.Array,
+    ln_bias: jax.Array,
+    wq: jax.Array, bq,
+    wk: jax.Array, bk,
+    wv: jax.Array, bv,
+    wo: jax.Array, bo,
+    *,
+    num_heads: int,
+    sm_scale: float | None = None,
+    causal: bool = False,
+    eps: float = 1e-6,
+    interpret: bool = False,
+) -> jax.Array:
+    """x + OutProj(MHA(LN(x))) in one Pallas kernel. x: (B, L, D)."""
+    d = x.shape[-1]
+    if sm_scale is None:
+        sm_scale = (d // num_heads) ** -0.5
+    zeros = jnp.zeros((d,), jnp.float32)
+    vec = jnp.stack([
+        ln_scale.astype(jnp.float32),
+        ln_bias.astype(jnp.float32),
+        (bq if bq is not None else zeros).astype(jnp.float32),
+        (bk if bk is not None else zeros).astype(jnp.float32),
+        (bv if bv is not None else zeros).astype(jnp.float32),
+        (bo if bo is not None else zeros).astype(jnp.float32),
+        zeros, zeros,
+    ])
+    return _fused_block(x, wq, wk, wv, wo, vec, num_heads, sm_scale, causal,
+                        eps, interpret)
