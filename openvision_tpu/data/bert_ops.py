@@ -129,6 +129,89 @@ def get_my_bert_tokenize(max_len, output_token_len, vocab_path,
     return op
 
 
+@pp_op("concat_bert_tokenize")
+def get_concat_bert_tokenize(vocab_path, max_len, sample_if_multi=True,
+                             prob=0.5, concat=False, key1="txt",
+                             key2="llava_caption", outkey="labels"):
+    """Tokenizes key1 or key2 (chosen with prob), optionally concatenated.
+
+    Capability parity with reference bert_ops.py:136 (concat_bert_tokenize).
+    """
+    tok = get_tokenizer(vocab_path)
+
+    def op(data, rng):
+        t1 = _sample_text(_as_text_list(data[key1]), rng, sample_if_multi)
+        t2 = " ".join(_as_text_list(data[key2]))
+        if concat:
+            text = f"{t1} {t2}"
+        else:
+            text = t1 if rng.random() < prob else t2
+        ids, _ = _pad_or_truncate(tok.encode(text), max_len - 1, tok.pad_id)
+        data[outkey] = np.asarray([tok.cls_id] + ids, np.int32)
+        return data
+
+    return op
+
+
+@pp_op("custom_bert_tokenize")
+def get_custom_bert_tokenize(vocab_path, max_len, output_token_len=None,
+                             sample_if_multi=True, add_bos=True, add_eos=True,
+                             key="txt", outkey="labels"):
+    """Single-key bos/eos/CLS-at-end tokenization (bert_ops.py:310)."""
+    tok = get_tokenizer(vocab_path)
+
+    def op(data, rng):
+        txt = _sample_text(_as_text_list(data[key]), rng, sample_if_multi)
+        ids = _encode_special(tok, txt, add_bos, add_eos)
+        data[outkey] = _finalize_clip_tokens(tok, ids, max_len, add_eos)
+        return data
+
+    return op
+
+
+@pp_op("noun_tokenize")
+def get_noun_tokenize(vocab_path, max_len, sample_if_multi=True, key="txt",
+                      outkey="labels"):
+    """Keeps nouns(1) > adjectives(2) > verbs(3) > rest(4) when truncating.
+
+    Capability parity with reference bert_ops.py:265 (nltk POS-ranked
+    tokenization); gated on nltk + its taggers being available.
+    """
+    tok = get_tokenizer(vocab_path)
+    try:
+        import nltk
+
+        nltk.pos_tag(["test"])  # raises if taggers are missing
+        have_nltk = True
+    except Exception:
+        have_nltk = False
+
+    def order(tag: str) -> int:
+        if tag.startswith("NN"):
+            return 1
+        if tag.startswith("JJ"):
+            return 2
+        if tag.startswith("VB"):
+            return 3
+        return 4
+
+    def op(data, rng):
+        txt = _sample_text(_as_text_list(data[key]), rng, sample_if_multi)
+        words = txt.split()
+        if have_nltk and len(words) > max_len - 1:
+            import nltk
+
+            tags = nltk.pos_tag(words)
+            ranked = sorted(range(len(words)), key=lambda i: order(tags[i][1]))
+            keep = set(ranked[: max_len - 1])
+            words = [w for i, w in enumerate(words) if i in keep]
+        ids, _ = _pad_or_truncate(tok.encode(" ".join(words)), max_len - 1, tok.pad_id)
+        data[outkey] = np.asarray([tok.cls_id] + ids, np.int32)
+        return data
+
+    return op
+
+
 @pp_op("my_eval_bert_tokenize")
 def get_my_eval_bert_tokenize(inkey, max_len, vocab_path, add_bos=True,
                               add_eos=True, sample_if_multi=True, outkey="labels"):

@@ -182,6 +182,32 @@ def training(input_cfg, *, seed: int = 0, num_workers: int = 0):
     return loader, len(source)
 
 
+def training_mixture(
+    input_cfgs: Sequence, weights: Sequence[float], *, seed: int = 0,
+    num_workers: int = 0,
+):
+    """Weighted mixture of several training pipelines.
+
+    Capability parity with reference input_pipeline.py:100-133 (multi-dataset
+    weighted mixing): each component is a full `training()` pipeline; batches
+    are drawn from component i with probability weights[i] (deterministic
+    given `seed`). Returns (iterator factory, total_examples).
+    """
+    loaders, sizes = zip(*(training(c, seed=seed + i, num_workers=num_workers)
+                           for i, c in enumerate(input_cfgs)))
+    probs = np.asarray(weights, np.float64)
+    probs = probs / probs.sum()
+
+    class _Mixture:
+        def __iter__(self):
+            its = [iter(l) for l in loaders]
+            rng = np.random.default_rng(seed)
+            while True:
+                yield next(its[rng.choice(len(its), p=probs)])
+
+    return _Mixture(), int(sum(sizes))
+
+
 def make_for_inference(
     source: grain.RandomAccessDataSource,
     pp_string: str,

@@ -289,3 +289,34 @@ def Model(num_classes=None, *, variant=None, **kw):
     if num_classes is not None:
         kw["num_classes"] = num_classes
     return TextDecoder(**{**decode_variant(variant), **kw})
+
+
+def generate(
+    decoder: TextDecoder,
+    params,
+    image_tokens: jax.Array,
+    text_tokens: jax.Array,
+    *,
+    temperature: float = 0.0,
+    rng: Optional[jax.Array] = None,
+    eos_id: int = 2,
+) -> jax.Array:
+    """Decodes caption token ids from the query positions.
+
+    The CoCa-style decoder conditions FIXED learnable query tokens on the
+    [image ++ text] prefix under a prefix-LM mask, so caption logits for all
+    positions come from ONE forward pass — position i's logits predict token
+    i+1 of the caption (see reference training targets, bert_ops.py:555-576).
+    Greedy (temperature=0) or temperature sampling; tokens after the first
+    eos are replaced with pad (0).
+    """
+    logits, _ = decoder.apply({"params": params}, image_tokens, text_tokens)
+    if temperature > 0.0:
+        assert rng is not None, "sampling needs an rng"
+        ids = jax.random.categorical(rng, logits / temperature, axis=-1)
+    else:
+        ids = jnp.argmax(logits, axis=-1)
+    # mask everything after the first eos
+    is_eos = (ids == eos_id).astype(jnp.int32)
+    seen = jnp.cumsum(is_eos, axis=1) - is_eos  # eos itself kept
+    return jnp.where(seen > 0, 0, ids)

@@ -25,12 +25,32 @@ class MetricWriter:
         self.is_main = jax.process_index() == 0
         self.pool = multiprocessing.pool.ThreadPool(1)
         self.path = None
+        self.wandb = None
         if workdir and self.is_main:
             os.makedirs(workdir, exist_ok=True)
             self.path = os.path.join(workdir, "metrics.jsonl")
             if config is not None:
                 with open(os.path.join(workdir, "config.json"), "w") as f:
                     json.dump(_plain(config), f, indent=2, default=str)
+        # Optional wandb mirroring (reference main_clip.py:133-147), gated on
+        # the package being installed and config.wandb.log_wandb.
+        wb_cfg = (config or {}).get("wandb", {}) if hasattr(config, "get") else {}
+        if self.is_main and wb_cfg and wb_cfg.get("log_wandb"):
+            try:
+                import wandb
+
+                if wb_cfg.get("wandb_offline"):
+                    os.environ["WANDB_MODE"] = "offline"
+                wandb.init(
+                    project=str(wb_cfg.get("project", "openvision_tpu")),
+                    name=str(wb_cfg.get("experiment", "run")),
+                    entity=wb_cfg.get("entity") or None,
+                    resume=wb_cfg.get("resume", False),
+                    config=_plain(config),
+                )
+                self.wandb = wandb
+            except ImportError:
+                print("wandb requested but not installed; metrics to JSONL only")
 
     def step_start(self, step: int):
         self._flush()
@@ -53,6 +73,11 @@ class MetricWriter:
             def write(row=row):
                 with open(self.path, "a") as f:
                     f.write(json.dumps(row) + "\n")
+                if self.wandb is not None:
+                    self.wandb.log(
+                        {k: v for k, v in row.items() if k != "step"},
+                        step=row["step"],
+                    )
 
             self.pool.apply_async(write)
 

@@ -1,0 +1,85 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+VOCAB = "assets/bert_base_vocab_bos_eos.txt"
+
+
+def test_decoder_generate_greedy_and_sampled():
+    from openvision_tpu.models import decoder as decoder_mod
+
+    dec = decoder_mod.Model(
+        variant="Ti", num_classes=64, fusion_style="concat", casual_mask=True,
+        num_learnable_tokens=6,
+    )
+    img_tok = jnp.zeros((2, 4, 32))
+    txt_tok = jnp.zeros((2, 5, 192))
+    params = dec.init(jax.random.PRNGKey(0), img_tok, txt_tok)["params"]
+    ids = decoder_mod.generate(dec, params, img_tok, txt_tok)
+    assert ids.shape == (2, 6)
+    assert ids.dtype in (jnp.int32, jnp.int64)
+    ids2 = decoder_mod.generate(
+        dec, params, img_tok, txt_tok, temperature=1.0, rng=jax.random.PRNGKey(1)
+    )
+    assert ids2.shape == (2, 6)
+
+
+def test_generate_eos_masking():
+    from openvision_tpu.models.decoder import generate  # reuse masking logic
+
+    # simulate: directly test post-eos masking via a tiny fake decoder
+    class Fake:
+        def apply(self, _, img, txt):
+            logits = np.full((1, 4, 5), -10.0, np.float32)
+            logits[0, 0, 3] = 10  # token 3
+            logits[0, 1, 2] = 10  # eos (id 2)
+            logits[0, 2, 4] = 10  # after eos → masked
+            logits[0, 3, 1] = 10
+            return jnp.asarray(logits), {}
+
+    ids = generate(Fake(), {}, None, None, eos_id=2)
+    np.testing.assert_array_equal(np.asarray(ids[0]), [3, 2, 0, 0])
+
+
+def test_training_mixture():
+    from openvision_tpu.configs import openvision as cfg_mod
+    from openvision_tpu.data import pipeline as pipe
+
+    def mk(res):
+        c = cfg_mod.get_config(
+            "res=32,img=mu/16,txt_name=Ti,token_len=16,output_token_len=12,"
+            "vocab_path=assets/bert_base_vocab_bos_eos.txt,runlocal=True"
+        )
+        c.input.batch_size = 4
+        c.input.data = dict(name="synthetic", num_examples=16, res=res)
+        return c.input
+
+    mix, n = pipe.training_mixture([mk(40), mk(48)], [0.7, 0.3], seed=0)
+    assert n == 32
+    it = iter(mix)
+    for _ in range(5):
+        batch = next(it)
+        assert batch["image"].shape == (4, 32, 32, 3)
+
+
+def test_new_bert_tokenize_variants():
+    from openvision_tpu.data.pp import build_pp_fn, import_pp_modules
+
+    import_pp_modules()
+    rng = np.random.default_rng(0)
+    data = {"txt": "a photo of a cat", "llava_caption": "A fluffy cat sits."}
+
+    out = build_pp_fn(
+        f'concat_bert_tokenize(vocab_path="{VOCAB}", max_len=12, concat=True)'
+    )(dict(data), rng)
+    assert out["labels"].shape == (12,)
+
+    out = build_pp_fn(
+        f'custom_bert_tokenize(vocab_path="{VOCAB}", max_len=12, key="txt")'
+    )(dict(data), rng)
+    assert out["labels"].shape == (12,)
+
+    out = build_pp_fn(
+        f'noun_tokenize(vocab_path="{VOCAB}", max_len=8, key="llava_caption")'
+    )(dict(data), rng)
+    assert out["labels"].shape == (8,)
