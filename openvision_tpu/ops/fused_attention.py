@@ -230,37 +230,41 @@ def _block_kernel(
 ):
     """One whole pre-LN attention sub-block per grid step.
 
-    vec_ref rows: 0=ln_scale, 1=ln_bias, 2=bq(scaled), 3=bk, 4=bv, 5=bo.
-    x block is (LP, D); LN reduces over lanes; the transposed attention core
-    is identical to `_kernel`; out-proj + residual close the block in-kernel.
+    vec_ref rows: 0=ln_scale, 1=ln_bias, 2=bq, 3=bk, 4=bv, 5=bo (bq carries
+    the folded softmax scale). x blocks are UNPADDED (L, D): the projections
+    and out-proj run in natural orientation (only ~3% sublane padding), and
+    just the attention core transposes into the lane-efficient (D, LP) form
+    (in-VMEM transposes are ~free; lane padding there only inflates the small
+    attention FLOPs, not the projection FLOPs).
     """
-    x = x_ref[0]
+    x = x_ref[0]  # (L, D)
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=1, keepdims=True)
     var = jnp.mean(xf * xf, axis=1, keepdims=True) - mean * mean
     y = (xf - mean) * jax.lax.rsqrt(var + eps)
     y = (y * vec_ref[0:1, :] + vec_ref[1:2, :]).astype(x.dtype)
-    yT = y.T
 
     d = num_heads * head_dim
+    dims = (((1,), (0,)), ((), ()))
+    q = jax.lax.dot_general(y, wq_ref[...], dims,
+                            preferred_element_type=jnp.float32) + vec_ref[2:3, :]
+    k = jax.lax.dot_general(y, wk_ref[...], dims,
+                            preferred_element_type=jnp.float32) + vec_ref[3:4, :]
+    v = jax.lax.dot_general(y, wv_ref[...], dims,
+                            preferred_element_type=jnp.float32) + vec_ref[4:5, :]
+
+    cdt = x.dtype
+    pad = ((0, 0), (0, lp - seq))
+    qT = jnp.pad(q.astype(cdt).T, pad)
+    kT = jnp.pad(k.astype(cdt).T, pad)
+    vT = jnp.pad(v.astype(cdt).T, pad)
+
     parts = []
     for c in range(num_heads // hchunk):
         rows = slice(c * hchunk * head_dim, (c + 1) * hchunk * head_dim)
-        dims = (((1,), (0,)), ((), ()))
-        qT = jax.lax.dot_general(wq_ref[rows, :], yT, dims,
-                                 preferred_element_type=jnp.float32)
-        kT = jax.lax.dot_general(wk_ref[rows, :], yT, dims,
-                                 preferred_element_type=jnp.float32)
-        vT = jax.lax.dot_general(wv_ref[rows, :], yT, dims,
-                                 preferred_element_type=jnp.float32)
-        qT = qT + jnp.swapaxes(vec_ref[2:3, rows], 0, 1)
-        kT = kT + jnp.swapaxes(vec_ref[3:4, rows], 0, 1)
-        vT = vT + jnp.swapaxes(vec_ref[4:5, rows], 0, 1)
-
-        cdt = x.dtype
-        q3 = qT.astype(cdt).reshape(hchunk, head_dim, lp)
-        k3 = kT.astype(cdt).reshape(hchunk, head_dim, lp)
-        v3 = vT.astype(cdt).reshape(hchunk, head_dim, lp)
+        q3 = qT[rows].reshape(hchunk, head_dim, lp)
+        k3 = kT[rows].reshape(hchunk, head_dim, lp)
+        v3 = vT[rows].reshape(hchunk, head_dim, lp)
 
         sT = jax.lax.dot_general(
             k3, q3, (((1,), (1,)), ((0,), (0,))),
@@ -284,12 +288,11 @@ def _block_kernel(
         parts.append((oT / l).reshape(hchunk * head_dim, lp).astype(cdt))
 
     oT = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
-    outT = jax.lax.dot_general(
-        wo_ref[...], oT, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    outT = outT + jnp.swapaxes(vec_ref[5:6, :], 0, 1)
-    o_ref[0] = outT.T.astype(o_ref.dtype) + x
+    o = oT.T[:seq]  # (L, D)
+    out = jax.lax.dot_general(o, wo_ref[...], dims,
+                              preferred_element_type=jnp.float32)
+    out = out + vec_ref[5:6, :]
+    o_ref[0] = out.astype(o_ref.dtype) + x
 
 
 def _block_reference(x, wq, wk, wv, wo, vec, num_heads, sm_scale, causal, eps):
@@ -318,13 +321,11 @@ def _block_fwd_impl(x, wq, wk, wv, wo, vec, num_heads, sm_scale, causal, eps,
     b, l, d = x.shape
     head_dim = d // num_heads
     lp = _ceil_to(l, 128)
-    hchunk = _pick_hchunk(num_heads, head_dim, lp, cap=2)
+    hchunk = _pick_hchunk(num_heads, head_dim, lp, cap=4)
 
-    xp = jnp.pad(x, ((0, 0), (0, lp - l), (0, 0)))
-    wqT = (wq * sm_scale).T.astype(x.dtype)
-    wkT = wk.T.astype(x.dtype)
-    wvT = wv.T.astype(x.dtype)
-    woT = wo.T.astype(x.dtype)
+    # weights stay (in, out) — projections run in natural orientation; the
+    # softmax scale folds into wq and its bias.
+    wqs = (wq * sm_scale).astype(x.dtype)
     vec_scaled = vec.at[2].multiply(sm_scale).astype(jnp.float32)
 
     out = pl.pallas_call(
@@ -334,21 +335,22 @@ def _block_fwd_impl(x, wq, wk, wv, wo, vec, num_heads, sm_scale, causal, eps,
         ),
         grid=(b, 1, 1),
         in_specs=[
-            pl.BlockSpec((1, lp, d), lambda i, _, __: (i, 0, 0)),
+            pl.BlockSpec((1, l, d), lambda i, _, __: (i, 0, 0)),
             pl.BlockSpec((d, d), lambda i, _, __: (0, 0)),
             pl.BlockSpec((d, d), lambda i, _, __: (0, 0)),
             pl.BlockSpec((d, d), lambda i, _, __: (0, 0)),
             pl.BlockSpec((d, d), lambda i, _, __: (0, 0)),
             pl.BlockSpec((8, d), lambda i, _, __: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, lp, d), lambda i, _, __: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, lp, d), x.dtype),
+        out_specs=pl.BlockSpec((1, l, d), lambda i, _, __: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, l, d), x.dtype),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=32 * 1024 * 1024
+            vmem_limit_bytes=48 * 1024 * 1024
         ),
         interpret=interpret,
-    )(xp, wqT, wkT, wvT, woT, vec_scaled)
-    return out[:, :l]
+    )(x, wqs, wk.astype(x.dtype), wv.astype(x.dtype), wo.astype(x.dtype),
+      vec_scaled)
+    return out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
