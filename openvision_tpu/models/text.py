@@ -132,11 +132,17 @@ class TextTransformer(nn.Module):
             name="Transformer",
         )(x, deterministic=not train)
 
-        # Reference-modified pooling: LN over the full sequence, then the
-        # last token; tokens exclude the last position (text_transformer.py:682-685).
-        tokens = x[:, :-1]
+        # Reference-modified pooling (text_transformer.py:682-685): token
+        # features for the decoder are PRE-norm; the pooled embedding is
+        # LN'd then pooled ('last' = the appended [CLS] position).
+        if self.pool_type == "last":
+            tokens = x[:, :-1]
+        elif self.pool_type == "first":
+            tokens = x[:, 1:]
+        else:
+            tokens = x
         x = nn.LayerNorm(name="encoder_norm")(x)
-        pooled = x[:, -1, :]
+        pooled, _ = text_global_pool(x, text, self.pool_type)
 
         if self.num_classes:
             pooled = logical(pooled, ACT_BD)
