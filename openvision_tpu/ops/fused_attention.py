@@ -40,10 +40,10 @@ def _ceil_to(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _pick_hchunk(num_heads: int, head_dim: int, lp: int, cap: int | None = None) -> int:
+def _pick_hchunk(num_heads: int, head_dim: int, lp: int, cap: int | None = None,
+                 budget: int = int(2.5 * 1024 * 1024)) -> int:
     """Heads per inner iteration: the largest divisor of num_heads whose f32
-    score chunk stays ≤ ~2.5MB (and ≤ cap, for VMEM-heavier kernels)."""
-    budget = int(2.5 * 1024 * 1024)
+    score chunk fits `budget` (and ≤ cap, for VMEM-heavier kernels)."""
     best = 1
     for c in range(1, num_heads + 1):
         if num_heads % c:
@@ -321,7 +321,8 @@ def _block_fwd_impl(x, wq, wk, wv, wo, vec, num_heads, sm_scale, causal, eps,
     b, l, d = x.shape
     head_dim = d // num_heads
     lp = _ceil_to(l, 128)
-    hchunk = _pick_hchunk(num_heads, head_dim, lp, cap=4)
+    # with the 48MB VMEM limit, bigger score chunks schedule better
+    hchunk = _pick_hchunk(num_heads, head_dim, lp, budget=10 * 1024 * 1024)
 
     # weights stay (in, out) — projections run in natural orientation; the
     # softmax scale folds into wq and its bias.
