@@ -45,42 +45,53 @@ def main():
     )
 
     batch = 256
-    model = vit_mod.Model(
-        num_classes=768,
-        variant="L/14",
-        posemb="sincos2d",
-        pool_type="gap",
-        output_tokens=False,
-        emb_head_bias=False,
-        head_zeroinit=False,
-        dtype="bfloat16",
-        param_dtype="bfloat16",
-        attn_impl="fused",
-    )
-    rng = jax.random.PRNGKey(0)
-    image_small = jnp.zeros((1, 224, 224, 3), jnp.bfloat16)
-    from openvision_tpu.parallel import unbox
+    iters = 10
 
-    params = unbox(model.init(rng, image_small)["params"])
+    def build(attn_impl):
+        model = vit_mod.Model(
+            num_classes=768,
+            variant="L/14",
+            posemb="sincos2d",
+            pool_type="gap",
+            output_tokens=False,
+            emb_head_bias=False,
+            head_zeroinit=False,
+            dtype="bfloat16",
+            param_dtype="bfloat16",
+            attn_impl=attn_impl,
+        )
+        from openvision_tpu.parallel import unbox
+
+        params = unbox(
+            model.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3), jnp.bfloat16))[
+                "params"
+            ]
+        )
+
+        # The TPU is reached through a relay with ~30ms host RTT, so chain the
+        # iterations inside ONE jit (scaling the input each step to prevent
+        # XLA hoisting the loop-invariant encode) and fetch a scalar once.
+        @jax.jit
+        def encode_many(params, image):
+            def body(i, acc):
+                out = model.apply(
+                    {"params": params}, image * (1.0 + i.astype(jnp.bfloat16) * 1e-6)
+                )
+                return acc + jnp.sum(out.astype(jnp.float32))
+
+            return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+        return params, encode_many
 
     image = jax.random.normal(jax.random.PRNGKey(1), (batch, 224, 224, 3), jnp.bfloat16)
 
-    iters = 10
+    try:  # fused Pallas megakernel path; fall back to XLA if it won't compile
+        params, encode_many = build("fused")
+        float(encode_many(params, image))  # warmup/compile
+    except Exception:
+        params, encode_many = build("xla")
+        float(encode_many(params, image))
 
-    # The TPU is reached through a relay with ~30ms host RTT, so chain the
-    # iterations inside ONE jit (scaling the input each step to prevent XLA
-    # hoisting the loop-invariant encode) and fetch a scalar once.
-    @jax.jit
-    def encode_many(params, image):
-        def body(i, acc):
-            out = model.apply(
-                {"params": params}, image * (1.0 + i.astype(jnp.bfloat16) * 1e-6)
-            )
-            return acc + jnp.sum(out.astype(jnp.float32))
-
-        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
-
-    float(encode_many(params, image))  # warmup/compile
     t0 = time.perf_counter()
     float(encode_many(params, image))
     dt = time.perf_counter() - t0
