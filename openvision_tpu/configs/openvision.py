@@ -104,6 +104,9 @@ def get_config(arg: str | None = None) -> ConfigDict:
             remat_policy=arg.remat,
             mask_ratio=arg.mask_ratio,
             attn_impl=arg.attn_impl,
+            # tanh GELU deviates ≤5e-6 output cosine from exact; free speed
+            # under bf16 compute (see docs/PERF_NOTES.md).
+            fast_gelu=arg.dtype == "bfloat16",
             emb_head_bias=False,
             head_zeroinit=False,
             dtype=arg.dtype,
