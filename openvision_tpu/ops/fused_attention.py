@@ -216,7 +216,12 @@ def fused_qkv_attention(
     biases = jnp.stack(
         [b if b is not None else zeros for b in (bq, bk, bv)]
     )
-    return _fused(y, wq, wk, wv, biases, num_heads, sm_scale, causal, interpret)
+    return _shard_over_batch(
+        lambda y_, a, b_, c, e: _fused(
+            y_, a, b_, c, e, num_heads, sm_scale, causal, interpret
+        ),
+        y, wq, wk, wv, biases,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -411,5 +416,44 @@ def fused_mhsa_block(
         (bo if bo is not None else zeros).astype(jnp.float32),
         zeros, zeros,
     ])
-    return _fused_block(x, wq, wk, wv, wo, vec, num_heads, sm_scale, causal,
-                        eps, interpret)
+    return _shard_over_batch(
+        lambda x_, a, b_, c, d_, v_: _fused_block(
+            x_, a, b_, c, d_, v_, num_heads, sm_scale, causal, eps, interpret
+        ),
+        x, wq, wk, wv, wo, vec,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-chip wrapping: shard the fused ops over the active mesh's batch axes
+# ---------------------------------------------------------------------------
+
+
+def _shard_over_batch(fn, x, *weights):
+    """Runs `fn(x, *weights)` per batch shard via shard_map when a mesh is
+    active; otherwise calls it directly.
+
+    x is batch-sharded over ("data","fsdp"); weights are replicated (P() —
+    shard_map's transpose inserts the psum for their gradients). GSPMD cannot
+    partition an opaque pallas_call by itself, so without this wrapper a
+    sharded batch would be all-gathered onto every device.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from openvision_tpu.parallel import active_mesh
+
+    mesh = active_mesh()
+    if mesh is None or mesh.size == 1:
+        return fn(x, *weights)
+    batch_axes = tuple(a for a in ("data", "fsdp") if a in mesh.axis_names)
+    if not batch_axes:
+        return fn(x, *weights)
+    wrapped = shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P(batch_axes),) + (P(),) * len(weights),
+        out_specs=P(batch_axes),
+        check_vma=False,
+    )
+    return wrapped(x, *weights)

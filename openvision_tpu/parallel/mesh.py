@@ -120,3 +120,30 @@ def local_batch_to_global(tree: Any, mesh: Mesh, spec: P = BATCH_SPEC) -> Any:
         lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
         tree,
     )
+
+
+# ---------------------------------------------------------------------------
+# Active-mesh registry: lets Pallas ops shard_map themselves over the batch
+# axes without threading the mesh through every flax module (the reference
+# passed `mesh=` into all model constructors instead — common.py:478).
+# ---------------------------------------------------------------------------
+
+import contextlib
+
+_ACTIVE_MESH: Mesh | None = None
+
+
+def active_mesh() -> Mesh | None:
+    return _ACTIVE_MESH
+
+
+@contextlib.contextmanager
+def use_mesh(mesh: Mesh):
+    """Marks `mesh` active for the scope (kernels shard_map over its batch axes)."""
+    global _ACTIVE_MESH
+    prev = _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+    try:
+        yield mesh
+    finally:
+        _ACTIVE_MESH = prev

@@ -184,11 +184,21 @@ def make_update_fn(
 
 
 def jit_update_fn(update_fn, state_sharding, mesh: Mesh):
-    """Wraps the step in jit with donated, explicitly-sharded arguments."""
+    """Wraps the step in jit with donated, explicitly-sharded arguments.
+
+    Tracing runs under `use_mesh(mesh)` so Pallas-fused ops shard_map
+    themselves over the batch axes instead of being gathered by GSPMD.
+    """
+    from openvision_tpu.parallel import use_mesh
+
+    def traced(train_state, batch, rng):
+        with use_mesh(mesh):
+            return update_fn(train_state, batch, rng)
+
     data_sh = batch_sharding(mesh)
     repl = replicated_sharding(mesh)
     return jax.jit(
-        update_fn,
+        traced,
         donate_argnums=(0,),
         in_shardings=(state_sharding, data_sh, repl),
         out_shardings=(state_sharding, repl),
