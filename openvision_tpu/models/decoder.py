@@ -245,11 +245,12 @@ class _CrossAttnStack(nn.Module):
             from openvision_tpu.models.encoder import _remat_policy
 
             policy = _remat_policy(self.remat_policy)
+            # static_argnums counts `self` (flax nn.remat)
             self_cls = nn.remat(
-                EncoderBlock, prevent_cse=True, policy=policy, static_argnums=(1,)
+                EncoderBlock, prevent_cse=True, policy=policy, static_argnums=(2,)
             )
             cross_cls = nn.remat(
-                CrossAttnBlock, prevent_cse=True, policy=policy, static_argnums=(2,)
+                CrossAttnBlock, prevent_cse=True, policy=policy, static_argnums=(3,)
             )
         for i in range(self.depth):
             x = self_cls(

@@ -327,11 +327,12 @@ class Encoder(nn.Module):
 
         block_cls = EncoderBlock
         if self.remat_policy != "none":
+            # static_argnums counts `self` (flax nn.remat): deterministic = 2
             block_cls = nn.remat(
                 EncoderBlock,
                 prevent_cse=True,
                 policy=_remat_policy(self.remat_policy),
-                static_argnums=(1,),
+                static_argnums=(2,),
             )
 
         for i in range(self.depth):
