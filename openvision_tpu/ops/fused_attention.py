@@ -375,13 +375,9 @@ def _fused_block_fwd(x, wq, wk, wv, wo, vec, num_heads, sm_scale, causal, eps,
 
 def _fused_block_bwd(num_heads, sm_scale, causal, eps, interpret, res, g):
     x, wq, wk, wv, wo, vec = res
-    _, vjp = jax.vjp(
-        lambda x_, a, b_, c, d_, v_: _block_reference(
-            x_, a, b_, c, d_, v_, num_heads, sm_scale, causal, eps
-        ),
-        x, wq, wk, wv, wo, vec,
+    return _block_bwd_impl(
+        x, wq, wk, wv, wo, vec, g, num_heads, sm_scale, causal, eps, interpret
     )
-    return vjp(g)
 
 
 _fused_block.defvjp(_fused_block_fwd, _fused_block_bwd)
@@ -457,3 +453,224 @@ def _shard_over_batch(fn, x, *weights):
         check_vma=False,
     )
     return wrapped(x, *weights)
+
+
+# ---------------------------------------------------------------------------
+# Fused backward for the whole MHSA block
+# ---------------------------------------------------------------------------
+
+
+def _block_bwd_kernel(
+    x_ref, g_ref, wq_ref, wk_ref, wv_ref, wo_ref, vec_ref,
+    dx_ref, dwq_ref, dwk_ref, dwv_ref, dwo_ref, dvec_ref,
+    *, num_heads, head_dim, lp, seq, causal, hchunk, eps, sm_scale,
+):
+    """Backward of x + OutProj(MHA(LN(x))), one image per grid step.
+
+    Recomputes the forward in-kernel (FlashAttention-style) and produces dx
+    per step; weight/vector grads accumulate in f32 output blocks that live in
+    VMEM across the whole grid (their index maps are constant, so the blocks
+    are revisited consecutively and flushed once at the end).
+    """
+    first = pl.program_id(0) == 0
+
+    @pl.when(first)
+    def _zero():
+        dwq_ref[...] = jnp.zeros_like(dwq_ref)
+        dwk_ref[...] = jnp.zeros_like(dwk_ref)
+        dwv_ref[...] = jnp.zeros_like(dwv_ref)
+        dwo_ref[...] = jnp.zeros_like(dwo_ref)
+        dvec_ref[...] = jnp.zeros_like(dvec_ref)
+
+    x = x_ref[0]  # (L, D)
+    g = g_ref[0]
+    cdt = x.dtype
+    d = num_heads * head_dim
+    dims = (((1,), (0,)), ((), ()))
+
+    # ---- forward recompute: LN ----
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=1, keepdims=True) - mean * mean
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = (xf - mean) * rstd
+    ln_s = vec_ref[0:1, :]
+    y = (xhat * ln_s + vec_ref[1:2, :]).astype(cdt)
+
+    # ---- forward recompute: projections (natural orientation) ----
+    q = jax.lax.dot_general(y, wq_ref[...], dims,
+                            preferred_element_type=jnp.float32) + vec_ref[2:3, :]
+    k = jax.lax.dot_general(y, wk_ref[...], dims,
+                            preferred_element_type=jnp.float32) + vec_ref[3:4, :]
+    v = jax.lax.dot_general(y, wv_ref[...], dims,
+                            preferred_element_type=jnp.float32) + vec_ref[4:5, :]
+    q = q * sm_scale
+
+    pad = ((0, 0), (0, lp - seq))
+    qT = jnp.pad(q.astype(cdt).T, pad)
+    kT = jnp.pad(k.astype(cdt).T, pad)
+    vT = jnp.pad(v.astype(cdt).T, pad)
+
+    gf = g.astype(jnp.float32)
+    # do = g @ Wo^T  (grad into the attention output)
+    do = jax.lax.dot_general(g, wo_ref[...], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    doT = jnp.pad(do.astype(cdt).T, pad)
+
+    dq_parts, dk_parts, dv_parts, o_parts = [], [], [], []
+    for c in range(num_heads // hchunk):
+        rows = slice(c * hchunk * head_dim, (c + 1) * hchunk * head_dim)
+        q3 = qT[rows].reshape(hchunk, head_dim, lp)
+        k3 = kT[rows].reshape(hchunk, head_dim, lp)
+        v3 = vT[rows].reshape(hchunk, head_dim, lp)
+        do3 = doT[rows].reshape(hchunk, head_dim, lp)
+
+        sT = jax.lax.dot_general(k3, q3, (((1,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        krow = jax.lax.broadcasted_iota(jnp.int32, (1, lp, lp), 1)
+        valid = krow < seq
+        if causal:
+            qcol = jax.lax.broadcasted_iota(jnp.int32, (1, lp, lp), 2)
+            valid &= krow <= qcol
+        sT = jnp.where(valid, sT, NEG_INF)
+        m = jnp.max(sT, axis=1, keepdims=True)
+        p = jnp.exp(sT - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        l = jnp.where(l <= 0.0, 1.0, l)
+        a = p / l  # (h, k, q) softmax over k
+
+        ab = a.astype(cdt)
+        # forward output (for dWo): oT = v a
+        o_parts.append(
+            jax.lax.dot_general(v3, ab, (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+            .reshape(hchunk * head_dim, lp).astype(cdt)
+        )
+        # dv[h,d,k] = Σ_q a[h,k,q] do[h,d,q]
+        dv3 = jax.lax.dot_general(do3, ab, (((2,), (2,)), ((0,), (0,))),
+                                  preferred_element_type=jnp.float32)
+        dv_parts.append(dv3.reshape(hchunk * head_dim, lp).astype(cdt))
+        # dp[h,k,q] = Σ_d v[h,d,k] do[h,d,q]
+        dp = jax.lax.dot_general(v3, do3, (((1,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        # softmax bwd over k (axis 1)
+        ds = a * (dp - jnp.sum(dp * a, axis=1, keepdims=True))
+        dsb = ds.astype(cdt)
+        # dq[h,d,q] = Σ_k k[h,d,k] ds[h,k,q]
+        dq3 = jax.lax.dot_general(k3, dsb, (((2,), (1,)), ((0,), (0,))),
+                                  preferred_element_type=jnp.float32)
+        dq_parts.append(dq3.reshape(hchunk * head_dim, lp).astype(cdt))
+        # dk[h,d,k] = Σ_q q[h,d,q] ds[h,k,q]
+        dk3 = jax.lax.dot_general(q3, dsb, (((2,), (2,)), ((0,), (0,))),
+                                  preferred_element_type=jnp.float32)
+        dk_parts.append(dk3.reshape(hchunk * head_dim, lp).astype(cdt))
+
+    def cat(parts):
+        return (jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0])
+
+    o = cat(o_parts).T[:seq]       # (L, D)
+    dq = cat(dq_parts).T[:seq] * sm_scale
+    dk = cat(dk_parts).T[:seq]
+    dv = cat(dv_parts).T[:seq]
+
+    # out-proj grads
+    dwo_ref[...] += jax.lax.dot_general(
+        o, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    # dy through the three projections
+    dyf = jax.lax.dot_general(dq.astype(cdt), wq_ref[...],
+                              (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dyf += jax.lax.dot_general(dk.astype(cdt), wk_ref[...],
+                               (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    dyf += jax.lax.dot_general(dv.astype(cdt), wv_ref[...],
+                               (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+    # weight grads: dW = y^T d*
+    yb = y
+    dwq_ref[...] += jax.lax.dot_general(
+        yb, dq.astype(cdt), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dwk_ref[...] += jax.lax.dot_general(
+        yb, dk.astype(cdt), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dwv_ref[...] += jax.lax.dot_general(
+        yb, dv.astype(cdt), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    # LN backward + bias grads, packed like vec:
+    # rows: 0=dln_scale, 1=dln_bias, 2=dbq, 3=dbk, 4=dbv, 5=dbo, 6-7 unused.
+    zeros_row = jnp.zeros((1, d), jnp.float32)
+    dxhat = dyf * ln_s
+    dvec_ref[...] += jnp.concatenate(
+        [
+            jnp.sum(dyf * xhat, axis=0, keepdims=True),
+            jnp.sum(dyf, axis=0, keepdims=True),
+            jnp.sum(dq, axis=0, keepdims=True),
+            jnp.sum(dk, axis=0, keepdims=True),
+            jnp.sum(dv, axis=0, keepdims=True),
+            jnp.sum(gf, axis=0, keepdims=True),
+            zeros_row,
+            zeros_row,
+        ],
+        axis=0,
+    )
+    mean_dxhat = jnp.mean(dxhat, axis=1, keepdims=True)
+    mean_dxhat_xhat = jnp.mean(dxhat * xhat, axis=1, keepdims=True)
+    dx_ln = rstd * (dxhat - mean_dxhat - xhat * mean_dxhat_xhat)
+
+    dx_ref[0] = (gf + dx_ln).astype(dx_ref.dtype)
+
+
+def _block_bwd_impl(x, wq, wk, wv, wo, vec, g, num_heads, sm_scale, causal,
+                    eps, interpret):
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, l, d = x.shape
+    head_dim = d // num_heads
+    lp = _ceil_to(l, 128)
+    hchunk = _pick_hchunk(num_heads, head_dim, lp, budget=4 * 1024 * 1024)
+
+    outs = pl.pallas_call(
+        functools.partial(
+            _block_bwd_kernel, num_heads=num_heads, head_dim=head_dim, lp=lp,
+            seq=l, causal=causal, hchunk=hchunk, eps=eps, sm_scale=sm_scale,
+        ),
+        grid=(b, 1, 1),
+        in_specs=[
+            pl.BlockSpec((1, l, d), lambda i, _, __: (i, 0, 0)),
+            pl.BlockSpec((1, l, d), lambda i, _, __: (i, 0, 0)),
+            pl.BlockSpec((d, d), lambda i, _, __: (0, 0)),
+            pl.BlockSpec((d, d), lambda i, _, __: (0, 0)),
+            pl.BlockSpec((d, d), lambda i, _, __: (0, 0)),
+            pl.BlockSpec((d, d), lambda i, _, __: (0, 0)),
+            pl.BlockSpec((8, d), lambda i, _, __: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, l, d), lambda i, _, __: (i, 0, 0)),
+            pl.BlockSpec((d, d), lambda i, _, __: (0, 0)),
+            pl.BlockSpec((d, d), lambda i, _, __: (0, 0)),
+            pl.BlockSpec((d, d), lambda i, _, __: (0, 0)),
+            pl.BlockSpec((d, d), lambda i, _, __: (0, 0)),
+            pl.BlockSpec((8, d), lambda i, _, __: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, l, d), x.dtype),
+            jax.ShapeDtypeStruct((d, d), jnp.float32),
+            jax.ShapeDtypeStruct((d, d), jnp.float32),
+            jax.ShapeDtypeStruct((d, d), jnp.float32),
+            jax.ShapeDtypeStruct((d, d), jnp.float32),
+            jax.ShapeDtypeStruct((8, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(x, g, wq.astype(x.dtype), wk.astype(x.dtype), wv.astype(x.dtype),
+      wo.astype(x.dtype), vec.astype(jnp.float32))
+
+    dx, dwq, dwk, dwv, dwo, dvec = outs
+    return (dx, dwq.astype(wq.dtype), dwk.astype(wk.dtype),
+            dwv.astype(wv.dtype), dwo.astype(wo.dtype), dvec.astype(vec.dtype))

@@ -81,3 +81,47 @@ def test_fused_text_causal_matches_xla():
     np.testing.assert_allclose(
         np.asarray(out_fused), np.asarray(out_ref), atol=2e-3, rtol=2e-3
     )
+
+
+def test_fused_block_bwd_matches_reference_vjp():
+    """The fused backward kernel == VJP of the unfused reference block."""
+    from openvision_tpu.ops.fused_attention import (
+        _block_reference,
+        fused_mhsa_block,
+    )
+
+    d, l, heads = 16, 20, 2
+    ks = jax.random.split(jax.random.PRNGKey(0), 8)
+    x = jax.random.normal(ks[0], (2, l, d))
+    wq, wk, wv, wo = (jax.random.normal(k, (d, d)) * 0.1 for k in ks[1:5])
+    ln_s = 1.0 + 0.1 * jax.random.normal(ks[5], (d,))
+    ln_b = 0.1 * jax.random.normal(ks[6], (d,))
+    g_out = jax.random.normal(ks[7], (2, l, d))
+
+    for causal in (False, True):
+        def loss_fused(x, wq, wk, wv, wo, ln_s, ln_b):
+            out = fused_mhsa_block(
+                x, ln_s, ln_b, wq, None, wk, None, wv, None, wo, None,
+                num_heads=heads, causal=causal, interpret=True,
+            )
+            return jnp.sum(out * g_out)
+
+        def loss_ref(x, wq, wk, wv, wo, ln_s, ln_b):
+            import jax.numpy as jnp2
+
+            vec = jnp2.stack([ln_s, ln_b] + [jnp2.zeros((d,))] * 6)
+            out = _block_reference(
+                x, wq, wk, wv, wo, vec, heads, (d // heads) ** -0.5, causal, 1e-6
+            )
+            return jnp.sum(out * g_out)
+
+        g1 = jax.grad(loss_fused, argnums=tuple(range(7)))(
+            x, wq, wk, wv, wo, ln_s, ln_b
+        )
+        g2 = jax.grad(loss_ref, argnums=tuple(range(7)))(
+            x, wq, wk, wv, wo, ln_s, ln_b
+        )
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-4
+            )
