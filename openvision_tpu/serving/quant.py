@@ -1,0 +1,166 @@
+"""W8A8 dynamically-quantized ViT encode for serving (opt-in).
+
+Beyond-reference serving capability: int8 matmuls run ~1.75× faster than
+bf16 on TPU v5e (measured: the MLP matmul pair drops 7.8ms → 4.5ms at
+ViT-L shapes). This module quantizes a trained ViT tower's Dense kernels to
+per-output-channel symmetric int8 once, then encodes with per-token dynamic
+activation quantization; LayerNorms, softmax, GELU and the patch conv stay
+bf16/f32. Accuracy: ~0.999 output cosine vs the bf16 path on ViT-L (see
+tests/test_quant.py) — NOT within the 1e-3 checkpoint-parity budget, so this
+is an explicit serving mode, never a default.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openvision_tpu.models.layers import posemb_sincos_2d
+
+
+def _quant_w(kernel) -> tuple[jax.Array, jax.Array]:
+    """Per-output-channel symmetric int8 quantization of a (in, out) kernel."""
+    k = jnp.asarray(kernel, jnp.float32)
+    scale = jnp.max(jnp.abs(k), axis=0, keepdims=True) / 127.0
+    scale = jnp.where(scale == 0, 1.0, scale)
+    q = jnp.clip(jnp.round(k / scale), -127, 127).astype(jnp.int8)
+    return q, scale[0]  # (in, out) int8, (out,) f32
+
+
+def _quant_a(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-row (token) dynamic symmetric int8 quantization."""
+    amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    scale = jnp.where(amax == 0, 1.0, amax / 127.0)
+    q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+    return q, scale.astype(jnp.float32)
+
+
+def _qdense(xq, x_scale, wq, w_scale, bias=None):
+    """int8 × int8 matmul with f32 dequant: (…, in) @ (in, out)."""
+    acc = jax.lax.dot_general(
+        xq, wq, (((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out = acc.astype(jnp.float32) * x_scale * w_scale
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def quantize_vit_params(params: dict) -> dict:
+    """Quantizes every Transformer Dense kernel + head to int8 (+scales)."""
+    out: dict[str, Any] = {"_fp": {}}
+    fp = out["_fp"]
+    for key in ("cls", "pos_embedding", "embedding", "encoder_norm"):
+        if key in params:
+            fp[key] = params[key]
+    if "head" in params:
+        wq, ws = _quant_w(params["head"]["kernel"])
+        out["head"] = {"q": wq, "s": ws}
+        if "bias" in params["head"]:
+            out["head"]["b"] = params["head"]["bias"]
+
+    blocks = {}
+    tr = params["Transformer"]
+    for name, blk in tr.items():
+        qblk: dict[str, Any] = {
+            "ln0": blk["LayerNorm_0"],
+            "ln1": blk["LayerNorm_1"],
+        }
+        attn = blk["MultiHeadDotProductAttention_0"]
+        for proj in ("query", "key", "value", "out"):
+            wq, ws = _quant_w(attn[proj]["kernel"])
+            qblk[proj] = {
+                "q": wq, "s": ws, "b": attn[proj].get("bias"),
+            }
+        mlp = blk["MlpBlock_0"]
+        for i, proj in enumerate(("Dense_0", "Dense_1")):
+            wq, ws = _quant_w(mlp[proj]["kernel"])
+            qblk[f"mlp{i}"] = {"q": wq, "s": ws, "b": mlp[proj].get("bias")}
+        blocks[name] = qblk
+    out["Transformer"] = blocks
+    return out
+
+
+def _ln(x, p, eps=1e-6):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, -1, keepdims=True)
+    var = jnp.var(xf, -1, keepdims=True)
+    return (xf - mean) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+
+
+def _block(x, qblk, num_heads, fast_gelu):
+    b, l, d = x.shape
+    hd = d // num_heads
+    y = _ln(x, qblk["ln0"])
+    yq, ys = _quant_a(y)
+
+    def proj(name):
+        p = qblk[name]
+        return _qdense(yq, ys, p["q"], p["s"], p["b"])
+
+    q = proj("query").reshape(b, l, num_heads, hd) * (hd**-0.5)
+    k = proj("key").reshape(b, l, num_heads, hd)
+    v = proj("value").reshape(b, l, num_heads, hd)
+    s = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.bfloat16), k.astype(jnp.bfloat16))
+    p_att = jax.nn.softmax(s.astype(jnp.float32), -1).astype(jnp.bfloat16)
+    o = jnp.einsum("bhqk,bkhd->bqhd", p_att, v.astype(jnp.bfloat16)).reshape(b, l, d)
+    oq, os_ = _quant_a(o.astype(jnp.float32))
+    po = qblk["out"]
+    x = x + _qdense(oq, os_, po["q"], po["s"], po["b"]).astype(x.dtype)
+
+    y = _ln(x, qblk["ln1"])
+    yq, ys = _quant_a(y)
+    m0 = qblk["mlp0"]
+    h = _qdense(yq, ys, m0["q"], m0["s"], m0["b"])
+    h = jax.nn.gelu(h, approximate=fast_gelu)
+    hq, hs = _quant_a(h)
+    m1 = qblk["mlp1"]
+    x = x + _qdense(hq, hs, m1["q"], m1["s"], m1["b"]).astype(x.dtype)
+    return x
+
+
+def quantized_encode(
+    qparams: dict,
+    image: jax.Array,
+    *,
+    patch_size: int,
+    num_heads: int,
+    depth: int,
+    posemb: str = "sincos2d",
+    fast_gelu: bool = True,
+) -> jax.Array:
+    """W8A8 ViT encode: image (B, H, W, 3) → (B, out_dim) embeddings."""
+    fp = qparams["_fp"]
+    kernel = jnp.asarray(fp["embedding"]["kernel"], jnp.bfloat16)
+    x = jax.lax.conv_general_dilated(
+        image.astype(jnp.bfloat16), kernel,
+        window_strides=(patch_size, patch_size), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if "bias" in fp.get("embedding", {}):
+        x = x + fp["embedding"]["bias"]
+    b, h, w, c = x.shape
+    x = x.reshape(b, h * w, c)
+    cls = jnp.broadcast_to(jnp.asarray(fp["cls"], x.dtype), (b, 1, c))
+    x = jnp.concatenate([cls, x], axis=1)
+    if posemb == "sincos2d":
+        pe = posemb_sincos_2d(h, w, c, cls_token=True)
+    else:
+        pe = jnp.asarray(fp["pos_embedding"])
+    x = (x + pe).astype(jnp.bfloat16)
+
+    for i in range(depth):
+        x = _block(x, qparams["Transformer"][f"encoderblock_{i}"], num_heads,
+                   fast_gelu)
+
+    pooled = jnp.mean(x[:, 1:], axis=1)
+    pooled = _ln(pooled, fp["encoder_norm"])
+    head = qparams["head"]
+    pq, ps = _quant_a(pooled)
+    z = _qdense(pq, ps, head["q"], head["s"], head.get("b"))
+    return z / (jnp.linalg.norm(z, axis=-1, keepdims=True) + 1e-8)
