@@ -100,8 +100,6 @@ def parity_probe(params, cfg: dict, state_dict) -> float:
         import torch
     except ImportError:
         return float("nan")
-    from openvision_tpu.tools.model_io import LoadedModel, load_model  # noqa: F401
-
     # Re-load through the converted artifacts path (tools/model_io) and
     # compare against the original params' forward.
     from openvision_tpu.convert.openclip import openclip_to_jax

@@ -23,7 +23,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-from typing import Any, Callable, Iterator, Optional, Sequence
+from typing import Any, Callable, Iterator, Sequence
 
 import jax
 import numpy as np
@@ -263,7 +263,6 @@ def _stack(examples: Sequence[dict]) -> dict:
 
 def start_input_pipeline(loader, mesh, *, prefetch: int = 1) -> Iterator[dict]:
     """Host iterator → global sharded device batches, with host-side prefetch."""
-    import itertools
     import queue
     import threading
 

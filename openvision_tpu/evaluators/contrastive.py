@@ -9,7 +9,6 @@ on jit + NamedSharding (the reference's legacy pmap path dropped).
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from openvision_tpu.data import pipeline as pipe

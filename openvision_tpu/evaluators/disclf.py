@@ -12,9 +12,6 @@ Dataset injection: pass `data_dir` pointing at an npz file with
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

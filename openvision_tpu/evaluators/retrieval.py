@@ -11,10 +11,7 @@ captions. (TFDS coco_captions gated — not installed here.)
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
-
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from openvision_tpu.data import pipeline as pipe

@@ -18,8 +18,7 @@ LayerNorm_0, MultiHeadDotProductAttention_0, LayerNorm_1, MlpBlock_0
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

@@ -7,8 +7,6 @@ dont_load regexes) and two_towers.py:121 (per-tower `init_files` dict with
 
 from __future__ import annotations
 
-from typing import Any, Mapping
-
 import jax.numpy as jnp
 import numpy as np
 

@@ -12,7 +12,7 @@ Checkpoint layout (Model-Zoo Orbax / transfer_jax2hf.py:137-249):
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple, Union
+from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

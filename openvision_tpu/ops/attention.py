@@ -17,7 +17,6 @@ classes — common.py:203, text_transformer.py:133, text_decoder.py:51).
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

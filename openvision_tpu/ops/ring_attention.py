@@ -14,7 +14,6 @@ differentiable (autodiff through the scan + ppermute).
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

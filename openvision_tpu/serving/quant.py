@@ -12,7 +12,6 @@ is an explicit serving mode, never a default.
 
 from __future__ import annotations
 
-import functools
 from typing import Any
 
 import jax

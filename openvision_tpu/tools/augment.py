@@ -9,8 +9,6 @@ Images are (B, H, W, C) float.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

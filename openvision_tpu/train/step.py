@@ -12,19 +12,17 @@ at birth and never materialize replicated (main_clip.py:320-393).
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
 import optax
 from flax import linen as nn
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from openvision_tpu import losses, optim
 from openvision_tpu.models import clip as clip_mod
 from openvision_tpu.parallel import (
-    LOGICAL_AXIS_RULES,
     batch_sharding,
     logical_axis_rules,
     params_shardings,

@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import importlib
 import os
-import sys
 import time
 from typing import Optional
 
@@ -26,12 +25,7 @@ import numpy as np
 
 from openvision_tpu import optim
 from openvision_tpu.data import pipeline as input_pipeline
-from openvision_tpu.parallel import (
-    batch_sharding,
-    create_mesh,
-    replicated_sharding,
-    unbox,
-)
+from openvision_tpu.parallel import create_mesh, replicated_sharding
 from openvision_tpu.train import checkpoint as ckpt_lib
 from openvision_tpu.train import step as step_mod
 from openvision_tpu.train.chrono import chrono

@@ -12,7 +12,7 @@ jax.tree_util key-paths instead of hand-rolled recursion.
 from __future__ import annotations
 
 import re
-from typing import Any, Callable, Mapping, Sequence
+from typing import Any, Callable, Sequence
 
 import jax
 import numpy as np
