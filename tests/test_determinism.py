@@ -1,0 +1,76 @@
+"""Determinism guarantees: same seed → identical results (reference
+`--deterministic` behavior, cliptoolsoptimized.py:84)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openvision_tpu.tools import augment
+from openvision_tpu.tools.gradient_ascent import gumbel_softmax_hard
+
+
+def test_gumbel_softmax_deterministic_and_straight_through():
+    logits = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 32))
+    a = gumbel_softmax_hard(jax.random.PRNGKey(7), logits, 1000.0)
+    b = gumbel_softmax_hard(jax.random.PRNGKey(7), logits, 1000.0)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # hard one-hot forward
+    np.testing.assert_allclose(np.asarray(a.sum(-1)), 1.0, atol=1e-5)
+    assert set(np.unique(np.round(np.asarray(a), 4))).issubset(
+        set(np.round(np.unique(np.asarray(a)), 4))
+    )
+    # gradient flows (straight-through)
+    g = jax.grad(lambda l: jnp.sum(gumbel_softmax_hard(jax.random.PRNGKey(7), l, 1000.0) ** 2))(logits)
+    assert float(jnp.abs(g).sum()) > 0
+
+
+def test_random_affine_deterministic():
+    img = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 3))
+    a = augment.random_affine(jax.random.PRNGKey(3), img)
+    b = augment.random_affine(jax.random.PRNGKey(3), img)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    c = augment.random_affine(jax.random.PRNGKey(4), img)
+    assert not np.array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_train_step_rng_folds_in_step_count():
+    """Per-step fold_in: the same loop rng gives different dropout per step
+    (reference main_clip.py:422-426)."""
+    from openvision_tpu.configs import openvision as cfg_mod
+    from openvision_tpu.parallel import batch_sharding, create_mesh, replicated_sharding
+    from openvision_tpu.train import step as step_mod
+
+    c = cfg_mod.get_config(
+        "res=32,img=mu/16,txt_name=Ti,txt_decoder_name=Ti,token_len=16,"
+        "output_token_len=8,vocab_size=64,runlocal=True,remat=none,mask_ratio=0.5"
+    )
+    c.input.batch_size = 8
+    c.init_shapes = [(8, 32, 32, 3), (16, 16)]
+    c.model.out_dim = (32, 32)
+    c.lr = 0.0  # freeze values; only rng-dependent outputs vary
+    c.schedule = [(".*", dict(decay_type="linear"))]
+
+    mesh = create_mesh(data=8)
+    model = step_mod.build_model(c)
+    state, sharding, tx, _ = step_mod.init_train_state(
+        c, model, mesh, jax.random.PRNGKey(0), total_steps=4
+    )
+    update = step_mod.jit_update_fn(
+        step_mod.make_update_fn(c, model, tx, mesh), sharding, mesh
+    )
+    r = np.random.RandomState(0)
+    batch = jax.device_put(
+        {
+            "image": r.randint(0, 255, (8, 32, 32, 3)).astype(np.uint8),
+            "labels1": r.randint(0, 64, (8, 16)).astype(np.int32),
+            "labels2": r.randint(0, 64, (8, 16)).astype(np.int32),
+            "autoreg_labels": r.randint(0, 64, (8, 8)).astype(np.int32),
+            "cap_loss_mask": np.ones((8, 8), np.float32),
+        },
+        batch_sharding(mesh),
+    )
+    rng = jax.device_put(jax.random.PRNGKey(1), replicated_sharding(mesh))
+    state, m1 = update(state, batch, rng)
+    state, m2 = update(state, batch, rng)
+    # lr=0 → params identical, but random masking differs per step via fold_in
+    assert float(m1["training_loss"]) != float(m2["training_loss"])
