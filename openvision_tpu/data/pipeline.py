@@ -117,6 +117,11 @@ def get_source(data_cfg) -> grain.RandomAccessDataSource:
         )
     if name == "arrayrecord":
         return grain.ArrayRecordDataSource(data_cfg["paths"])
+    if name == "webdataset":
+        import glob as _glob
+
+        paths = data_cfg.get("paths") or sorted(_glob.glob(data_cfg["pattern"]))
+        return WebdatasetTarSource(paths)
     if name == "tfds":
         try:
             import tensorflow_datasets as tfds  # noqa: F401
@@ -291,3 +296,66 @@ def start_input_pipeline(loader, mesh, *, prefetch: int = 1) -> Iterator[dict]:
         if item is stop:
             return
         yield item
+
+
+class WebdatasetTarSource(grain.RandomAccessDataSource):
+    """Random-access reader over webdataset-style tar shards.
+
+    The reference trains from DataComp webdataset shards (via a TFDS builder,
+    tfds.py:39); this reads the tars directly: on open, each shard is scanned
+    once to index member offsets, grouping files by key prefix
+    (`<key>.jpg`, `<key>.txt`, `<key>.json`, ...). Records are then served by
+    seeking — grain gets true random access without TFDS.
+    """
+
+    def __init__(self, paths: Sequence[str], text_keys=("txt", "json")):
+        import tarfile
+
+        self._shards: list[str] = list(paths)
+        self._text_keys = text_keys
+        self._index: list[tuple[int, dict[str, tuple[int, int]]]] = []
+        for si, path in enumerate(self._shards):
+            groups: dict[str, dict[str, tuple[int, int]]] = {}
+            with tarfile.open(path) as tf:
+                for m in tf:
+                    if not m.isfile():
+                        continue
+                    base = os.path.basename(m.name)
+                    key, _, ext = base.rpartition(".")
+                    groups.setdefault(key, {})[ext.lower()] = (
+                        m.offset_data,
+                        m.size,
+                    )
+            for key in sorted(groups):
+                self._index.append((si, groups[key]))
+        self._handles: dict[int, Any] = {}
+
+    def __len__(self):
+        return len(self._index)
+
+    def _file(self, shard: int):
+        # one handle per shard per process (grain workers each re-open)
+        f = self._handles.get(shard)
+        if f is None or f.closed:
+            f = open(self._shards[shard], "rb")
+            self._handles[shard] = f
+        return f
+
+    def __getitem__(self, i: int):
+        shard, members = self._index[i]
+        f = self._file(shard)
+        out: dict[str, Any] = {}
+        for ext, (offset, size) in members.items():
+            f.seek(offset)
+            raw = f.read(size)
+            if ext in ("jpg", "jpeg", "png", "webp"):
+                out["jpg"] = raw
+            elif ext == "txt":
+                out["txt"] = raw.decode("utf-8")
+            elif ext == "json":
+                meta = json.loads(raw)
+                for k, v in meta.items():
+                    out.setdefault(k, v)
+        out.setdefault("txt", "")
+        out.setdefault("llava_caption", out["txt"])
+        return out
