@@ -55,3 +55,30 @@ def test_decoder_remat():
 
     g = jax.grad(loss)(params)
     assert np.isfinite(float(jax.tree.leaves(g)[0].sum()))
+
+
+def test_remat_with_fused_attention():
+    """remat(EncoderBlock) wrapping the Pallas custom_vjp path."""
+    model = vit_mod.Model(
+        num_classes=16, variant="mu/16", posemb="sincos2d", pool_type="gap",
+        output_tokens=False, emb_head_bias=False, remat_policy="minimal",
+        attn_impl="fused",
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    params = model.init(jax.random.PRNGKey(1), x)["params"]
+
+    def loss(p):
+        return jnp.sum(model.apply({"params": p}, x) ** 2)
+
+    g = jax.grad(loss)(params)
+    assert np.isfinite(float(jax.tree.leaves(g)[0].sum()))
+
+    # matches the unfused no-remat model on the same params
+    ref = vit_mod.Model(
+        num_classes=16, variant="mu/16", posemb="sincos2d", pool_type="gap",
+        output_tokens=False, emb_head_bias=False,
+    )
+    g_ref = jax.grad(lambda p: jnp.sum(ref.apply({"params": p}, x) ** 2))(params)
+    a = jax.tree.leaves(g)[0]
+    b = jax.tree.leaves(g_ref)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3, rtol=2e-3)
