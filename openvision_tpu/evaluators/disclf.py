@@ -57,6 +57,12 @@ class Evaluator:
 
         if source is not None:
             self.source = source
+        elif data_dir == "synthetic":
+            rng = np.random.RandomState(0)
+            self.source = pipe.DictSource({
+                "image": rng.randint(0, 255, (32, 64, 64, 3), np.uint8),
+                "label": rng.randint(0, 1000, (32,)),
+            })
         elif data_dir:
             data = np.load(data_dir)
             self.source = pipe.DictSource({"image": data["image"], "label": data["label"]})

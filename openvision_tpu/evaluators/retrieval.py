@@ -65,6 +65,13 @@ class Evaluator:
 
         if source is not None:
             self.source = source
+        elif data_dir == "synthetic":
+            rng = np.random.RandomState(0)
+            caps = np.array([f"a photo number {i}" for i in range(16)])
+            self.source = pipe.DictSource({
+                "image": rng.randint(0, 255, (16, 64, 64, 3), np.uint8),
+                "captions": caps,
+            })
         elif data_dir:
             data = np.load(data_dir, allow_pickle=True)
             self.source = pipe.DictSource(
