@@ -145,8 +145,10 @@ def train(config, workdir: Optional[str] = None):
         ckpt_mngr = ckpt_lib.create_checkpoint_manager(
             os.path.join(workdir, "checkpoints"),
             save_interval_steps=1,
-            max_to_keep=config.get("keep_ckpt_max", 1),
+            max_to_keep=config.get("keep_ckpt", 1),
         )
+
+    chrono_path = os.path.join(workdir, "chrono.json") if workdir else None
 
     if ckpt_mngr and ckpt_mngr.latest_step() is not None:
         note(f"resuming from step {ckpt_mngr.latest_step()}")
@@ -156,6 +158,12 @@ def train(config, workdir: Optional[str] = None):
         )
         train_state = ckpt_lib.restore_train_state(ckpt_mngr, abstract)
         first_step = optim.get_count(train_state["opt"])
+        # keep core-hours accounting across preemptions (the reference's
+        # chrono.npz sidecar, main_clip.py:540-546).
+        if chrono_path and os.path.exists(chrono_path):
+            import json as _json
+
+            chrono.load(_json.load(open(chrono_path)))
     elif config.get("ft_from"):
         note(f"finetuning from {config.ft_from}")
         abstract_params = jax.tree.map(
@@ -242,6 +250,11 @@ def train(config, workdir: Optional[str] = None):
         if ckpt_mngr and _should(step, ckpt_every, total_steps):
             chrono.pause(wait_for=jax.tree.leaves(train_state["params"]))
             ckpt_lib.save_train_state(ckpt_mngr, step, train_state)
+            if chrono_path and jax.process_index() == 0:
+                import json as _json
+
+                with open(chrono_path, "w") as f:
+                    _json.dump({k: float(v) for k, v in chrono.save().items()}, f)
             chrono.resume()
 
         run_evals(step)
