@@ -120,6 +120,54 @@ def bidirectional_contrastive_loss(
     raise ValueError(f"Unknown contrastive mode: {mode!r}")
 
 
+def siglip_loss(
+    zimg: jax.Array,
+    ztxt: jax.Array,
+    t: jax.Array,
+    b: jax.Array,
+    *,
+    mesh: Optional[Mesh] = None,
+    batch_axes: Sequence[str] = BATCH_AXES,
+    mode: str = "local",
+):
+    """Pairwise sigmoid contrastive loss (SigLIP, arXiv:2303.15343).
+
+    Extension beyond the reference (which carries the learnable logit bias
+    `b` in two_towers.py:109-111 but never a sigmoid pairing loss): every
+    (image, text) pair is classified matched/unmatched independently, so no
+    softmax normalization over the batch is needed and the local mode only
+    all_gathers the text side.
+    """
+
+    def pairwise(zi, zt, diag_offset):
+        logits = jnp.dot(zi, zt.T) * t + b
+        n, m = logits.shape
+        labels = (
+            jnp.arange(n)[:, None] + diag_offset == jnp.arange(m)[None, :]
+        ).astype(logits.dtype)
+        # +1 for matched pairs, -1 otherwise; stable log-sigmoid loss
+        z = jnp.where(labels > 0, logits, -logits)
+        return -jnp.sum(jax.nn.log_sigmoid(z)) / n
+
+    if mode == "global" or mesh is None:
+        return pairwise(zimg, ztxt, 0), {}
+
+    spec = P(tuple(batch_axes), None)
+
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=(spec, spec), out_specs=P(),
+        check_vma=False,
+    )
+    def local(local_img, local_txt):
+        axis = tuple(batch_axes)
+        rank = jax.lax.axis_index(axis)
+        gtxt = jax.lax.all_gather(local_txt, axis, tiled=True)
+        l = pairwise(local_img, gtxt, rank * local_img.shape[0])
+        return jax.lax.pmean(l, axis)
+
+    return local(zimg, ztxt), {}
+
+
 def softmax_xent(
     *,
     logits: jax.Array,

@@ -131,7 +131,17 @@ def make_update_fn(
             half = ztxt.shape[0] // 2
             views = [ztxt[:half], ztxt[half:]]
 
-            if loss_type == "clip":
+            if loss_type == "siglip":
+                assert "b" in out, "siglip needs model.init_logit_bias"
+                per_view = [
+                    losses.siglip_loss(
+                        zimg, v, out["t"], out["b"], mesh=mesh, mode=loss_mode
+                    )[0]
+                    for v in views
+                ]
+                l = sum(per_view) / len(per_view)
+                l_extras = {}
+            elif loss_type == "clip":
                 l, l_extras = losses.bidirectional_contrastive_loss(
                     zimg, views, out["t"], mode=loss_mode, mesh=mesh
                 )

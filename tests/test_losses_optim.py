@@ -156,3 +156,28 @@ def test_steps_conversion():
     assert optim.steps("x", Cfg(), default=7) == 7
     with pytest.raises(ValueError):
         optim.steps("x", Cfg())
+
+
+def test_siglip_local_matches_global():
+    from openvision_tpu.parallel import batch_sharding, create_mesh
+
+    mesh = create_mesh(data=-1, fsdp=2, tensor=1)
+    zimg, ztxt, _ = _embeds()
+    t = jnp.float32(10.0)
+    b = jnp.float32(-10.0)
+    l_g, _ = losses.siglip_loss(zimg, ztxt, t, b, mode="global")
+    sh = batch_sharding(mesh)
+    l_l, _ = jax.jit(
+        lambda a, c: losses.siglip_loss(a, c, t, b, mode="local", mesh=mesh)
+    )(*jax.device_put((zimg, ztxt), sh))
+    np.testing.assert_allclose(float(l_l), float(l_g), rtol=1e-5)
+
+
+def test_siglip_prefers_matched_pairs():
+    # identical embeddings → diagonal matched; loss lower than shuffled texts
+    z = jax.random.normal(jax.random.PRNGKey(0), (8, 16))
+    z = z / jnp.linalg.norm(z, axis=-1, keepdims=True)
+    t, b = jnp.float32(10.0), jnp.float32(-10.0)
+    l_match, _ = losses.siglip_loss(z, z, t, b, mode="global")
+    l_shuf, _ = losses.siglip_loss(z, jnp.roll(z, 1, axis=0), t, b, mode="global")
+    assert float(l_match) < float(l_shuf)
