@@ -78,3 +78,25 @@ def test_update_count_advances():
     rng = jax.device_put(jax.random.PRNGKey(1), replicated_sharding(mesh))
     state, _ = update(state, batch, rng)
     assert optim.get_count(state["opt"]) == 1
+
+
+def test_train_step_siglip_loss():
+    c = _tiny_config()
+    c.loss_type = "siglip"
+    c.model.init_logit_bias = -10.0
+    mesh = create_mesh(data=8, fsdp=1, tensor=1)
+    model = step_mod.build_model(c)
+    state, sharding, tx, _ = step_mod.init_train_state(
+        c, model, mesh, jax.random.PRNGKey(0), total_steps=10
+    )
+    update = step_mod.jit_update_fn(
+        step_mod.make_update_fn(c, model, tx, mesh), sharding, mesh
+    )
+    batch = jax.device_put(_fake_batch(c), batch_sharding(mesh))
+    rng = jax.device_put(jax.random.PRNGKey(1), replicated_sharding(mesh))
+    losses_seen = []
+    for _ in range(3):
+        state, meas = update(state, batch, rng)
+        losses_seen.append(float(meas["training_loss"]))
+    assert np.isfinite(losses_seen).all()
+    assert losses_seen[-1] < losses_seen[0]
