@@ -212,6 +212,51 @@ def get_noun_tokenize(vocab_path, max_len, sample_if_multi=True, key="txt",
     return op
 
 
+@pp_op("change_keys")
+@inkey_outkey(indefault=None, outdefault="labels")
+def get_change_keys():
+    """Identity op used purely for its inkey→outkey rename (ref bert_ops.py:256)."""
+
+    def op(labels, rng):
+        return labels
+
+    return op
+
+
+@pp_op("new_bert_tokenize")
+def get_new_bert_tokenize(vocab_path, max_len, output_token_len=None,
+                          sample_if_multi=True, add_bos=False, add_eos=False,
+                          key1="txt", key2="llava_caption"):
+    """Legacy CoCa variant (ref bert_ops.py:594-709): labels2 samples key2's
+    caption LIST directly (no [.!]+ sub-caption split, unlike
+    `my_bert_tokenize`) and cap_loss_mask derives from the key2 pad-mask at
+    max_len-1; no labels_for_regress is emitted."""
+    del output_token_len  # accepted for signature parity; unused by the ref.
+    tok = get_tokenizer(vocab_path)
+
+    def finalize(txt):
+        ids = _encode_special(tok, txt, add_bos, add_eos)
+        padded, mask = _pad_or_truncate(ids, max_len - 1, tok.pad_id)
+        if add_eos and mask[-1] == 1:
+            padded = padded[:-1] + [tok.eos_id]
+        return np.asarray(padded + [tok.cls_id], np.int32), mask
+
+    def op(data, rng):
+        txt1 = _sample_text(_as_text_list(data[key1]), rng, sample_if_multi)
+        data["labels1"], _ = finalize(txt1)
+
+        txt2 = _sample_text(_as_text_list(data[key2]), rng, sample_if_multi)
+        data["labels2"], mask2 = finalize(txt2)
+
+        cap_mask = mask2
+        if add_bos:
+            cap_mask = cap_mask[1:] + [0]
+        data["cap_loss_mask"] = np.asarray(cap_mask, np.float32)
+        return data
+
+    return op
+
+
 @pp_op("my_eval_bert_tokenize")
 def get_my_eval_bert_tokenize(inkey, max_len, vocab_path, add_bos=True,
                               add_eos=True, sample_if_multi=True, outkey="labels"):

@@ -109,6 +109,60 @@ def get_pad_to_shape(shape, pad_value=0):
     return op
 
 
+@pp_op("lookup")
+@inkey_outkey(indefault="labels", outdefault="labels")
+def get_lookup(mapping, npzkey="fnames", sep=None):
+    """Maps strings to integers via a mapping file (ref ops_general.py:65-100).
+
+    `.npz` file: the `npzkey` array gives the strings, mapped to their index.
+    Text file: one string per line → line number, or `key<sep>val` pairs.
+    Unknown strings map to -1.
+    """
+    if str(mapping).endswith(".npz"):
+        keys = np.load(mapping, allow_pickle=False)[npzkey]
+        keys = [k.decode("utf-8") if isinstance(k, bytes) else str(k) for k in keys]
+        vals = list(range(len(keys)))
+    else:
+        with open(mapping, "r") as f:
+            lines = f.read().splitlines()
+        if sep is None:
+            keys, vals = lines, list(range(len(lines)))
+        else:
+            keys, vals = zip(*[ln.split(sep) for ln in lines])
+            vals = [int(v) for v in vals]
+    table = dict(zip(keys, vals))
+
+    def one(needle):
+        if isinstance(needle, (bytes, np.bytes_)):
+            needle = needle.decode("utf-8")
+        return table.get(str(needle), -1)
+
+    def op(needle, rng):
+        arr = np.asarray(needle)
+        if arr.ndim == 0:
+            return np.asarray(one(arr.item() if arr.dtype != object else arr[()]), np.int64)
+        return np.asarray([one(x) for x in arr.reshape(-1)], np.int64).reshape(arr.shape)
+
+    return op
+
+
+@pp_op("rag_tensor")
+@inkey_outkey(indefault="labels", outdefault="labels")
+def get_rag_tensor():
+    """Converts a tensor to a length-1 ragged batch (ref ops_general.py:214).
+
+    tf's `RaggedTensor.from_tensor(x[None])` adds a leading batch dim so
+    variable-length rows can be batched; the numpy/grain equivalent is a
+    1-element list holding the row (the pipeline's batcher keeps lists
+    ragged instead of stacking them).
+    """
+
+    def op(x, rng):
+        return [np.asarray(x)]
+
+    return op
+
+
 @pp_op("flatten")
 def get_flatten():
     """Flattens nested dicts: {"a": {"b": 1}} → {"a/b": 1}."""

@@ -8,7 +8,7 @@ input pipeline (grain, tf.data via py_function, or inline).
 
 Vocab: assets/bert_base_vocab_bos_eos.txt — 30,522 lines; [PAD]=0, [bos]=1,
 [eos]=2, [CLS]/[SEP]/[UNK] at their standard BERT positions. Parity against
-transformers.BertTokenizer is covered by tests/test_tokenizer.py.
+transformers.BertTokenizer is covered by tests/test_data.py.
 """
 
 from __future__ import annotations
