@@ -89,13 +89,17 @@ class EncoderBlock(nn.Module):
     chunk: int = 128
     scan_mlp: bool = False
     fast_gelu: bool = False  # tanh-approx GELU (≤5e-6 cosine deviation, ~17% faster)
+    nomax_softmax: bool = False  # skip softmax max-subtraction (clamp at 80)
+    fused_t_valid: int = 0  # static valid-patch count for the fused_t path
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     use_dense_general: bool = False
     decode: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+    def __call__(self, x, deterministic: bool = True):
+        if isinstance(x, tuple):  # transposed-stream (xT, cls) from Encoder
+            return self._fused_t_block(x, deterministic)
         width = x.shape[-1]
         inits = _make_inits(self.init_style, width, self.depth)
         if self.fast_gelu:
@@ -203,6 +207,57 @@ class EncoderBlock(nn.Module):
         )
         return logical(out, ACT_BLD)
 
+    def _fused_t_block(self, x, deterministic):
+        """Whole encoder block on the transposed patch stream.
+
+        Input/output: (xT (B, D, Ppad), cls (B, D), valid) — see
+        ops/fused_encoder.py. Creates the exact same param tree as the
+        standard path, so checkpoints are interchangeable.
+        """
+        from openvision_tpu.ops.fused_encoder import fused_encoder_tblock
+
+        xT, cls = x
+        valid = self.fused_t_valid
+        width = xT.shape[1]
+        inits = _make_inits(self.init_style, width, self.depth)
+        ln1 = _LayerNormParams(width, self.param_dtype, name="LayerNorm_0")()
+        mha = _MHSAParams(
+            width=width,
+            qkv_init=inits["qkv"],
+            out_init=inits["out"],
+            param_dtype=self.param_dtype,
+            name="MultiHeadDotProductAttention_0",
+        )()
+        ln2 = _LayerNormParams(width, self.param_dtype, name="LayerNorm_1")()
+        (w1, b1), (w2, b2) = _MlpParams(
+            width=width,
+            mlp_dim=self.mlp_dim or 4 * width,
+            fc_init=inits["fc"],
+            proj_init=inits["proj"],
+            param_dtype=self.param_dtype,
+            name="MlpBlock_0",
+        )()
+        (wq, bq), (wk, bk), (wv, bv), (wo, bo) = mha
+        wqkv = jnp.concatenate(
+            [wq.astype(self.dtype), wk.astype(self.dtype), wv.astype(self.dtype)],
+            axis=1,
+        )
+        bqkv = jnp.concatenate(
+            [b.astype(jnp.float32) for b in (bq, bk, bv)], axis=0)
+        xT, cls = fused_encoder_tblock(
+            xT.astype(self.dtype), cls.astype(self.dtype),
+            wqkv, bqkv, wo.astype(self.dtype), bo.astype(jnp.float32),
+            ln1[0].astype(jnp.float32), ln1[1].astype(jnp.float32),
+            w1.astype(self.dtype), b1.astype(jnp.float32),
+            w2.astype(self.dtype), b2.astype(jnp.float32),
+            ln2[0].astype(jnp.float32), ln2[1].astype(jnp.float32),
+            num_heads=self.num_heads,
+            valid=valid,
+            nomax=self.nomax_softmax,
+            interpret=jax.devices()[0].platform not in ("tpu", "axon"),
+        )
+        return xT, cls
+
 
 class _LayerNormParams(nn.Module):
     """LayerNorm scale/bias params without applying the norm (fused path)."""
@@ -256,6 +311,40 @@ class _MHSAParams(nn.Module):
             proj("value", self.qkv_init),
             proj("out", self.out_init),
         )
+
+
+class _MlpParams(nn.Module):
+    """Dense_0/Dense_1 params matching MlpBlock's tree, without applying."""
+
+    width: int
+    mlp_dim: int
+    fc_init: Any
+    proj_init: Any
+    param_dtype: Any
+
+    @nn.compact
+    def __call__(self):
+        from openvision_tpu.models.attention_module import _ProjParams
+
+        fc = _ProjParams(
+            in_features=self.width,
+            features=self.mlp_dim,
+            use_bias=True,
+            kernel_init=self.fc_init,
+            bias_init=nn.initializers.zeros,
+            param_dtype=self.param_dtype,
+            name="Dense_0",
+        )()
+        proj = _ProjParams(
+            in_features=self.mlp_dim,
+            features=self.width,
+            use_bias=True,
+            kernel_init=self.proj_init,
+            bias_init=nn.initializers.zeros,
+            param_dtype=self.param_dtype,
+            name="Dense_1",
+        )()
+        return fc, proj
 
 
 def _blockwise_mlp(mlp: nn.Module, x: jax.Array, chunk: int, deterministic: bool):
@@ -315,14 +404,39 @@ class Encoder(nn.Module):
     chunk: int = 128
     scan_mlp: bool = False
     fast_gelu: bool = False
+    nomax_softmax: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     use_dense_general: bool = False
     decode: bool = False
 
+    def _fused_t_eligible(self, x, deterministic) -> bool:
+        """Transposed-stream fusion needs the plain CLIP-vision-encode shape:
+        cls-first self-attention, no masks/LayerScale/scan, inference-mode
+        dropout, and tanh GELU (the in-kernel activation)."""
+        inits = _make_inits(self.init_style, x.shape[-1], self.depth)
+        return (
+            self.attn_impl == "fused_t"
+            and x.ndim == 3
+            and x.shape[1] >= 2
+            and not self.causal
+            and self.prefix_len == 0
+            and not self.decode
+            and not self.use_dense_general
+            and self.init_values is None
+            and not self.scan_mlp
+            and (inits["gelu_approx"] or self.fast_gelu)
+            and (deterministic or (self.dropout == 0.0 and self.drop_path == 0.0))
+        )
+
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         dpr = np.linspace(0.0, self.drop_path, self.depth)
+
+        attn_impl = self.attn_impl
+        fused_t = self._fused_t_eligible(x, deterministic)
+        if attn_impl == "fused_t" and not fused_t:
+            attn_impl = "fused"  # safe fallback for unsupported configs
 
         block_cls = EncoderBlock
         if self.remat_policy != "none":
@@ -333,6 +447,15 @@ class Encoder(nn.Module):
                 policy=_remat_policy(self.remat_policy),
                 static_argnums=(2,),
             )
+
+        if fused_t:
+            from openvision_tpu.ops.fused_encoder import (
+                from_transposed_stream,
+                to_transposed_stream,
+            )
+
+            xT, cls, valid = to_transposed_stream(x.astype(self.dtype))
+            x = (xT, cls)
 
         for i in range(self.depth):
             x = block_cls(
@@ -345,14 +468,19 @@ class Encoder(nn.Module):
                 depth=self.depth,
                 causal=self.causal,
                 prefix_len=self.prefix_len,
-                attn_impl=self.attn_impl,
+                attn_impl=attn_impl,
                 chunk=self.chunk,
                 scan_mlp=self.scan_mlp,
                 fast_gelu=self.fast_gelu,
+                nomax_softmax=self.nomax_softmax,
+                fused_t_valid=valid if fused_t else 0,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 use_dense_general=self.use_dense_general,
                 decode=self.decode,
                 name=f"encoderblock_{i}",
             )(x, deterministic)
+
+        if fused_t:
+            x = from_transposed_stream(x[0], x[1], valid)
         return x

@@ -193,6 +193,7 @@ class ViT(nn.Module):
     chunk: int = 128
     scan_mlp: bool = False
     fast_gelu: bool = False  # tanh GELU: ≤5e-6 output cosine deviation, ~17% faster
+    nomax_softmax: bool = False  # fused_t: skip softmax max-subtraction (clamp 80)
     mask_ratio: float = 0.0
     mask_mode: str = "random"  # "random" | "square" | "per2x2_random_grid"
     emb_head_bias: bool = True
@@ -292,6 +293,7 @@ class ViT(nn.Module):
             chunk=self.chunk,
             scan_mlp=self.scan_mlp,
             fast_gelu=self.fast_gelu,
+            nomax_softmax=self.nomax_softmax,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             use_dense_general=self.use_dense_general,

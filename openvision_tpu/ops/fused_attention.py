@@ -425,14 +425,16 @@ def fused_mhsa_block(
 # ---------------------------------------------------------------------------
 
 
-def _shard_over_batch(fn, x, *weights):
+def _shard_over_batch(fn, x, *weights, extra_batched: int = 0, n_outs: int = 1):
     """Runs `fn(x, *weights)` per batch shard via shard_map when a mesh is
     active; otherwise calls it directly.
 
-    x is batch-sharded over ("data","fsdp"); weights are replicated (P() —
-    shard_map's transpose inserts the psum for their gradients). GSPMD cannot
-    partition an opaque pallas_call by itself, so without this wrapper a
-    sharded batch would be all-gathered onto every device.
+    x (and the first `extra_batched` of `weights`) are batch-sharded over
+    ("data","fsdp"); the rest are replicated (P() — shard_map's transpose
+    inserts the psum for their gradients). GSPMD cannot partition an opaque
+    pallas_call by itself, so without this wrapper a sharded batch would be
+    all-gathered onto every device. `n_outs` > 1 declares multiple
+    batch-sharded outputs.
     """
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
@@ -445,11 +447,14 @@ def _shard_over_batch(fn, x, *weights):
     batch_axes = tuple(a for a in ("data", "fsdp") if a in mesh.axis_names)
     if not batch_axes:
         return fn(x, *weights)
+    out_specs = P(batch_axes) if n_outs == 1 else tuple(
+        P(batch_axes) for _ in range(n_outs))
     wrapped = shard_map(
         fn,
         mesh=mesh,
-        in_specs=(P(batch_axes),) + (P(),) * len(weights),
-        out_specs=P(batch_axes),
+        in_specs=(P(batch_axes),) * (1 + extra_batched)
+        + (P(),) * (len(weights) - extra_batched),
+        out_specs=out_specs,
         check_vma=False,
     )
     return wrapped(x, *weights)

@@ -1,0 +1,398 @@
+"""Transposed-stream fused encoder kernels (the flagship encode path).
+
+The speed-of-light layout for ViT encoders on TPU: patch tokens ride through
+the whole encoder TRANSPOSED as (B, D, P) with P padded to a lane multiple
+(exactly 2x128 for ViT-L/14-224's 256 patches — zero padding), while the
+single [cls] token rides as (B, D) rows through trivially-cheap XLA ops.
+
+Why this wins over the natural-layout fused block (ops/fused_attention.py):
+- ZERO per-block transposes. The natural-layout kernel spends ~25% of its
+  MXU time transposing q/k/v into the lane-efficient attention layout and
+  transposing the output back (measured: 1.9 ms of a 7.5 ms block at
+  ViT-L/14-224, B=256 on v5e). Here the stream is already transposed, and
+  all projections consume NATURAL (in, out) weights via AtB-form dots
+  (contract both operands' sublane dims) — measured free on the MXU.
+- Zero padding FLOPs at 224px: the 257-token sequence is the one thing that
+  doesn't tile on TPU (257 = 2x128 + cls). Splitting the cls token out makes
+  every large dot exact: (3D, D)x(D, 256), scores (h, 257, 256), out-proj
+  (D, D)x(D, 256). The cls row's own q/k/v and MLP are (B, D)-row XLA ops
+  (~0.1% of FLOPs); its keys/values enter the kernel as an extra column.
+- The MLP sub-block is fused too (LN + fc1 + tanh-GELU + fc2 + residual in
+  one kernel; the hidden (4D, P) activation never touches HBM).
+
+Measured on TPU v5e (ViT-L/14-224, B=256, bf16): 11.6 -> beats the
+natural-layout fused block + XLA MLP (13.3) by 15% per encoder block;
+see docs/PERF_NOTES.md for the full ladder.
+
+Reference capability parity: this computes exactly the reference pre-LN
+block (vit.py:245-335 in /root/reference) — LN, MHSA with per-head softmax,
+out-proj, residual, LN, MLP, residual — restricted to the vision-encode
+configuration (no masks, no LayerScale, inference-mode dropout).
+
+The backward pass uses the VJP of a mathematically identical jnp reference
+(same approach as ops/fused_attention.py); training throughput paths use
+attn_impl="fused" whose backward is itself a Pallas kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from openvision_tpu.ops.fused_attention import _shard_over_batch
+
+NEG_INF = -1e30
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _pick_hchunk(num_heads: int, lk: int, lp: int,
+                 budget: int = 10 * 1024 * 1024) -> int:
+    """Largest divisor of num_heads whose f32 score chunk fits the budget."""
+    best = 1
+    for c in range(1, num_heads + 1):
+        if num_heads % c == 0 and c * lk * lp * 4 <= budget:
+            best = c
+    return best
+
+
+# ---------------------------------------------------------------------------
+# MHSA-T kernel: LN + QKV + attention(patches + cls key) + out-proj + residual
+# ---------------------------------------------------------------------------
+
+
+def _mhsa_t_kernel(
+    xT_ref, clsqkv_ref, wqkv_ref, wo_ref, vecT_ref, bqkvT_ref,
+    o_ref, ocls_ref,
+    *, num_heads, head_dim, lpat, valid, hchunk, eps, sm_scale, nomax,
+):
+    """One image per grid step, stream transposed.
+
+    xT_ref: (1, D, LPAT) patches; clsqkv_ref: (1, 3D, 1) this image's cls
+    q/k/v column (unscaled); wqkv_ref: (D, 3D) natural; wo_ref: (D, D)
+    natural; vecT_ref (D, 8) cols: 0=ln_scale 1=ln_bias 5=bo; bqkvT_ref
+    (3D, 1) qkv bias column. Emits the patch block and the cls attention
+    output row (pre-out-proj).
+    """
+    xT = xT_ref[0]  # (D, LPAT)
+    cdt = xT.dtype
+    d = num_heads * head_dim
+
+    xf = xT.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=0, keepdims=True)
+    var = jnp.mean(xf * xf, axis=0, keepdims=True) - mean * mean
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = (y * vecT_ref[:, 0:1] + vecT_ref[:, 1:2]).astype(cdt)
+
+    # qkvT[dout, l] = sum_din wqkv[din, dout] * y[din, l]   (AtB form)
+    qkvT = jax.lax.dot_general(
+        wqkv_ref[...], y, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    qkvT = (qkvT + bqkvT_ref[...]).astype(cdt)  # (3D, LPAT)
+
+    clsqkvT = clsqkv_ref[0].astype(cdt)  # (3D, 1)
+
+    lk = lpat + 1  # keys: patches then cls (last column)
+    o_parts, ocls_parts = [], []
+    for c in range(num_heads // hchunk):
+        r0 = c * hchunk * head_dim
+        hs = hchunk * head_dim
+        q3 = (qkvT[r0:r0 + hs] * sm_scale).astype(cdt).reshape(
+            hchunk, head_dim, lpat)
+        k3p = qkvT[d + r0:d + r0 + hs].reshape(hchunk, head_dim, lpat)
+        v3p = qkvT[2 * d + r0:2 * d + r0 + hs].reshape(hchunk, head_dim, lpat)
+        qcls = (clsqkvT[r0:r0 + hs] * sm_scale).astype(cdt).reshape(
+            hchunk, head_dim, 1)
+        kcls = clsqkvT[d + r0:d + r0 + hs].reshape(hchunk, head_dim, 1)
+        vcls = clsqkvT[2 * d + r0:2 * d + r0 + hs].reshape(hchunk, head_dim, 1)
+
+        k_ext = jnp.concatenate([k3p, kcls], axis=2)  # (h, HD, LK)
+        v_ext = jnp.concatenate([v3p, vcls], axis=2)
+
+        # patch-query scores (h, LK, LPAT): contract head_dim (sublane/sublane)
+        sT = jax.lax.dot_general(
+            k_ext, q3, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        # cls-query scores (h, LK, 1)
+        scls = jax.lax.dot_general(
+            k_ext, qcls, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        if valid < lpat:  # mask padded patch keys (keep the cls key)
+            krow = jax.lax.broadcasted_iota(jnp.int32, (1, lk, 1), 1)
+            keymask = (krow < valid) | (krow == lpat)
+            sT = jnp.where(keymask, sT, NEG_INF)
+            scls = jnp.where(keymask, scls, NEG_INF)
+        if nomax:
+            p = jnp.exp(jnp.minimum(sT, 80.0))
+            pc = jnp.exp(jnp.minimum(scls, 80.0))
+        else:
+            p = jnp.exp(sT - jnp.max(sT, axis=1, keepdims=True))
+            pc = jnp.exp(scls - jnp.max(scls, axis=1, keepdims=True))
+        l = jnp.sum(p, axis=1, keepdims=True)
+        lc = jnp.sum(pc, axis=1, keepdims=True)
+        oT = jax.lax.dot_general(
+            v_ext, p.astype(cdt), (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) / l
+        oc = jax.lax.dot_general(
+            v_ext, pc.astype(cdt), (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) / lc
+        o_parts.append(oT.reshape(hs, lpat).astype(cdt))
+        ocls_parts.append(oc.reshape(hs, 1).astype(cdt))
+
+    oT = jnp.concatenate(o_parts, 0) if len(o_parts) > 1 else o_parts[0]
+    oclsT = jnp.concatenate(ocls_parts, 0) if len(ocls_parts) > 1 else ocls_parts[0]
+
+    # outT[dout, l] = sum_d wo[d, dout] * oT[d, l]   (AtB form)
+    outT = jax.lax.dot_general(
+        wo_ref[...], oT, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[0] = (outT + vecT_ref[:, 5:6]).astype(o_ref.dtype) + xT
+    ocls_ref[0, 0, :] = oclsT.reshape(d)
+
+
+def _mhsa_t_call(xT, clsqkv, wqkv, wo, vecT, bqkvT, *, num_heads, valid,
+                 eps, sm_scale, nomax, interpret):
+    b, d, lpat = xT.shape
+    head_dim = d // num_heads
+    hchunk = _pick_hchunk(num_heads, lpat + 8, lpat)
+    out, ocls = pl.pallas_call(
+        functools.partial(
+            _mhsa_t_kernel, num_heads=num_heads, head_dim=head_dim,
+            lpat=lpat, valid=valid, hchunk=hchunk, eps=eps,
+            sm_scale=sm_scale, nomax=nomax),
+        grid=(b, 1, 1),
+        in_specs=[
+            pl.BlockSpec((1, d, lpat), lambda i, _, __: (i, 0, 0)),
+            pl.BlockSpec((1, 3 * d, 1), lambda i, _, __: (i, 0, 0)),
+            pl.BlockSpec((d, 3 * d), lambda i, _, __: (0, 0)),
+            pl.BlockSpec((d, d), lambda i, _, __: (0, 0)),
+            pl.BlockSpec((d, 8), lambda i, _, __: (0, 0)),
+            pl.BlockSpec((3 * d, 1), lambda i, _, __: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, d, lpat), lambda i, _, __: (i, 0, 0)),
+            pl.BlockSpec((1, 1, d), lambda i, _, __: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, d, lpat), xT.dtype),
+            jax.ShapeDtypeStruct((b, 1, d), xT.dtype),
+        ],
+        compiler_params=_compiler_params(interpret),
+        interpret=interpret,
+    )(xT, clsqkv[:, :, None], wqkv, wo, vecT, bqkvT)
+    return out, ocls[:, 0, :]
+
+
+# ---------------------------------------------------------------------------
+# MLP-T kernel: LN + fc1 + tanh-GELU + fc2 + residual
+# ---------------------------------------------------------------------------
+
+
+def _mlp_t_kernel(xT_ref, w1_ref, w2_ref, vecT_ref, b1T_ref, o_ref, *, eps):
+    """vecT_ref (D, 8) cols: 0=ln2_scale 1=ln2_bias 2=b2; b1T_ref (4D, 1)."""
+    xT = xT_ref[0]
+    cdt = xT.dtype
+    d = xT.shape[0]
+    xf = xT.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=0, keepdims=True)
+    var = jnp.mean(xf * xf, axis=0, keepdims=True) - mean * mean
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = (y * vecT_ref[:, 0:1] + vecT_ref[:, 1:2]).astype(cdt)
+    h = jax.lax.dot_general(
+        w1_ref[...], y, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (4D, LPAT)
+    h = h + b1T_ref[...]
+    # tanh-approximate GELU (jax.nn.gelu approximate=True)
+    h = 0.5 * h * (1.0 + jnp.tanh(0.7978845608028654 * (h + 0.044715 * h * h * h)))
+    h = h.astype(cdt)
+    out = jax.lax.dot_general(
+        w2_ref[...], h, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (D, LPAT)
+    o_ref[0] = (out + vecT_ref[:, 2:3]).astype(o_ref.dtype) + xT
+
+
+def _mlp_t_call(xT, w1, w2, vecT, b1T, *, eps, interpret):
+    b, d, lpat = xT.shape
+    mlp_dim = w1.shape[1]
+    return pl.pallas_call(
+        functools.partial(_mlp_t_kernel, eps=eps),
+        grid=(b, 1, 1),
+        in_specs=[
+            pl.BlockSpec((1, d, lpat), lambda i, _, __: (i, 0, 0)),
+            pl.BlockSpec((d, mlp_dim), lambda i, _, __: (0, 0)),
+            pl.BlockSpec((mlp_dim, d), lambda i, _, __: (0, 0)),
+            pl.BlockSpec((d, 8), lambda i, _, __: (0, 0)),
+            pl.BlockSpec((mlp_dim, 1), lambda i, _, __: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, d, lpat), lambda i, _, __: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, d, lpat), xT.dtype),
+        compiler_params=_compiler_params(interpret),
+        interpret=interpret,
+    )(xT, w1, w2, vecT, b1T)
+
+
+def _compiler_params(interpret):
+    if interpret:
+        return None
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
+# ---------------------------------------------------------------------------
+# Whole encoder block on the transposed stream (+ cls XLA side path)
+# ---------------------------------------------------------------------------
+
+
+def _ln_rows(x, scale, bias, eps):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, -1, keepdims=True)
+    var = jnp.var(xf, -1, keepdims=True)
+    return ((xf - mean) * jax.lax.rsqrt(var + eps) * scale + bias)
+
+
+def _tblock_impl(xT, cls, wqkv, bqkv, wo, bo, ln1s, ln1b, w1, b1, w2, b2,
+                 ln2s, ln2b, num_heads, valid, eps, nomax, interpret):
+    cdt = xT.dtype
+    d = xT.shape[1]
+    sm_scale = (d // num_heads) ** -0.5
+
+    # cls side path: LN1 + qkv row (unscaled; the kernel folds sm_scale)
+    ycls = _ln_rows(cls, ln1s, ln1b, eps).astype(cdt)
+    clsqkv = (ycls @ wqkv.astype(cdt) + bqkv).astype(cdt)  # (B, 3D)
+
+    vecT_attn = jnp.stack(
+        [ln1s, ln1b, z := jnp.zeros_like(ln1s), z, z, bo, z, z], axis=1
+    ).astype(jnp.float32)  # (D, 8)
+    bqkvT = bqkv.astype(jnp.float32)[:, None]  # (3D, 1)
+
+    outT, ocls = _shard_over_batch(
+        functools.partial(
+            _mhsa_t_call, num_heads=num_heads, valid=valid, eps=eps,
+            sm_scale=sm_scale, nomax=nomax, interpret=interpret),
+        xT, clsqkv, wqkv.astype(cdt), wo.astype(cdt), vecT_attn, bqkvT,
+        extra_batched=1, n_outs=2,
+    )
+    cls = cls + (ocls.astype(jnp.float32) @ wo.astype(jnp.float32) + bo).astype(cdt)
+
+    # cls MLP (tanh GELU to match the kernel)
+    ycls = _ln_rows(cls, ln2s, ln2b, eps).astype(cdt)
+    hcls = jax.nn.gelu(
+        (ycls @ w1.astype(cdt) + b1.astype(cdt)).astype(jnp.float32),
+        approximate=True).astype(cdt)
+    cls = cls + (hcls @ w2.astype(cdt) + b2.astype(cdt)).astype(cdt)
+
+    vecT_mlp = jnp.stack(
+        [ln2s, ln2b, b2, jnp.zeros_like(ln2s)] + [jnp.zeros_like(ln2s)] * 4,
+        axis=1).astype(jnp.float32)
+    b1T = b1.astype(jnp.float32)[:, None]
+    outT = _shard_over_batch(
+        functools.partial(_mlp_t_call, eps=eps, interpret=interpret),
+        outT, w1.astype(cdt), w2.astype(cdt), vecT_mlp, b1T,
+    )
+    return outT, cls
+
+
+def _tblock_reference(xT, cls, wqkv, bqkv, wo, bo, ln1s, ln1b, w1, b1, w2,
+                      b2, ln2s, ln2b, num_heads, valid, eps):
+    """Mathematically identical jnp implementation (backward pass + tests)."""
+    cdt = xT.dtype
+    b, d, lpat = xT.shape
+    hd = d // num_heads
+    sm = hd ** -0.5
+
+    x = jnp.concatenate([cls[:, None, :], jnp.swapaxes(xT, 1, 2)], axis=1)
+    lvalid = 1 + valid
+    y = _ln_rows(x, ln1s, ln1b, eps).astype(cdt)
+    qkv = (y @ wqkv.astype(cdt) + bqkv.astype(cdt)).astype(cdt)
+    q = qkv[..., :d].reshape(b, -1, num_heads, hd).astype(cdt) * sm
+    k = qkv[..., d:2 * d].reshape(b, -1, num_heads, hd)
+    v = qkv[..., 2 * d:].reshape(b, -1, num_heads, hd)
+    s = jnp.einsum("bqhd,bkhd->bhqk", q.astype(cdt), k).astype(jnp.float32)
+    kmask = jnp.arange(x.shape[1]) < lvalid
+    s = jnp.where(kmask[None, None, None, :], s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1).astype(cdt)
+    o = jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(b, -1, d)
+    x = x + (o @ wo.astype(cdt) + bo).astype(cdt)
+    y = _ln_rows(x, ln2s, ln2b, eps).astype(cdt)
+    h = jax.nn.gelu(
+        (y @ w1.astype(cdt) + b1.astype(cdt)).astype(jnp.float32),
+        approximate=True).astype(cdt)
+    x = x + (h @ w2.astype(cdt) + b2.astype(cdt)).astype(cdt)
+    return jnp.swapaxes(x[:, 1:, :], 1, 2), x[:, 0, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(14, 15, 16, 17, 18))
+def _tblock(xT, cls, wqkv, bqkv, wo, bo, ln1s, ln1b, w1, b1, w2, b2, ln2s,
+            ln2b, num_heads, valid, eps, nomax, interpret):
+    return _tblock_impl(xT, cls, wqkv, bqkv, wo, bo, ln1s, ln1b, w1, b1, w2,
+                        b2, ln2s, ln2b, num_heads, valid, eps, nomax, interpret)
+
+
+def _tblock_fwd(xT, cls, wqkv, bqkv, wo, bo, ln1s, ln1b, w1, b1, w2, b2,
+                ln2s, ln2b, num_heads, valid, eps, nomax, interpret):
+    out = _tblock_impl(xT, cls, wqkv, bqkv, wo, bo, ln1s, ln1b, w1, b1, w2,
+                       b2, ln2s, ln2b, num_heads, valid, eps, nomax, interpret)
+    return out, (xT, cls, wqkv, bqkv, wo, bo, ln1s, ln1b, w1, b1, w2, b2,
+                 ln2s, ln2b)
+
+
+def _tblock_bwd(num_heads, valid, eps, nomax, interpret, res, g):
+    _, vjp = jax.vjp(
+        lambda *args: _tblock_reference(*args, num_heads=num_heads,
+                                        valid=valid, eps=eps),
+        *res,
+    )
+    return vjp(g)
+
+
+_tblock.defvjp(_tblock_fwd, _tblock_bwd)
+
+
+def fused_encoder_tblock(
+    xT: jax.Array,
+    cls: jax.Array,
+    wqkv: jax.Array, bqkv: jax.Array,
+    wo: jax.Array, bo: jax.Array,
+    ln1_scale: jax.Array, ln1_bias: jax.Array,
+    w1: jax.Array, b1: jax.Array,
+    w2: jax.Array, b2: jax.Array,
+    ln2_scale: jax.Array, ln2_bias: jax.Array,
+    *,
+    num_heads: int,
+    valid: int,
+    eps: float = 1e-6,
+    nomax: bool = False,
+    interpret: bool = False,
+):
+    """One pre-LN encoder block on the transposed stream.
+
+    xT: (B, D, LPAT) patch tokens, LPAT a multiple of 128 with `valid` real
+    columns; cls: (B, D) the [cls] token rows. wqkv: (D, 3D) = concat of
+    query/key/value kernels; w1/w2: MLP kernels. Returns (xT', cls').
+    """
+    return _tblock(
+        xT, cls, wqkv, bqkv, wo, bo, ln1_scale, ln1_bias, w1, b1, w2, b2,
+        ln2_scale, ln2_bias, num_heads, valid, eps, nomax, interpret)
+
+
+def to_transposed_stream(x: jax.Array):
+    """(B, 1+P, D) cls-first tokens -> ((B, D, Ppad), (B, D), valid P)."""
+    b, l, d = x.shape
+    p = l - 1
+    ppad = _ceil_to(max(p, 128), 128)
+    patches = jnp.swapaxes(x[:, 1:, :], 1, 2)  # (B, D, P)
+    if ppad != p:
+        patches = jnp.pad(patches, ((0, 0), (0, 0), (0, ppad - p)))
+    return patches, x[:, 0, :], p
+
+
+def from_transposed_stream(xT: jax.Array, cls: jax.Array, valid: int):
+    """Inverse of to_transposed_stream: -> (B, 1+valid, D)."""
+    patches = jnp.swapaxes(xT[:, :, :valid], 1, 2)
+    return jnp.concatenate([cls[:, None, :], patches], axis=1)

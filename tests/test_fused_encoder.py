@@ -1,0 +1,119 @@
+"""Transposed-stream fused encoder (attn_impl="fused_t") parity tests.
+
+The fused_t path runs the whole ViT encoder with patch tokens transposed to
+(B, D, Ppad) through Pallas kernels (interpret mode on CPU) while the cls
+token rides XLA row ops. It must be a drop-in for the xla path: same param
+tree, same outputs, same grads. Reference block semantics:
+/root/reference/src/models/vit.py:245-335 (pre-LN MHSA + MLP).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.flatten_util import ravel_pytree
+
+from openvision_tpu.models import vit as vit_mod
+from openvision_tpu.ops.fused_encoder import (
+    from_transposed_stream,
+    fused_encoder_tblock,
+    to_transposed_stream,
+    _tblock_reference,
+)
+from openvision_tpu.parallel import batch_sharding, create_mesh, unbox, use_mesh
+
+
+def _build(impl, **kw):
+    cfg = dict(
+        num_classes=32, variant="mu/16", posemb="sincos2d", pool_type="gap",
+        output_tokens=False, emb_head_bias=False, head_zeroinit=False,
+        fast_gelu=True, attn_impl=impl,
+    )
+    cfg.update(kw)
+    return vit_mod.Model(**cfg)
+
+
+def _params_and_image(model, res=48, batch=2):
+    img = jax.random.normal(jax.random.PRNGKey(1), (batch, res, res, 3))
+    params = unbox(model.init(jax.random.PRNGKey(0), img[:1])["params"])
+    return params, img
+
+
+def test_tblock_kernel_matches_reference():
+    d, heads, p = 16, 2, 9  # padded to 128, exercises valid-key masking
+    ks = jax.random.split(jax.random.PRNGKey(0), 12)
+    x = jax.random.normal(ks[0], (2, 1 + p, d))
+    wqkv = jax.random.normal(ks[1], (d, 3 * d)) * 0.2
+    bqkv = jax.random.normal(ks[2], (3 * d,)) * 0.05
+    wo = jax.random.normal(ks[3], (d, d)) * 0.2
+    bo = jax.random.normal(ks[4], (d,)) * 0.05
+    w1 = jax.random.normal(ks[5], (d, 4 * d)) * 0.2
+    b1 = jax.random.normal(ks[6], (4 * d,)) * 0.05
+    w2 = jax.random.normal(ks[7], (4 * d, d)) * 0.2
+    b2 = jax.random.normal(ks[8], (d,)) * 0.05
+    ln1s, ln1b = 1 + 0.1 * jax.random.normal(ks[9], (d,)), jnp.zeros((d,))
+    ln2s, ln2b = 1 + 0.1 * jax.random.normal(ks[10], (d,)), jnp.zeros((d,))
+
+    xT, cls, valid = to_transposed_stream(x)
+    args = (wqkv, bqkv, wo, bo, ln1s, ln1b, w1, b1, w2, b2, ln2s, ln2b)
+    oT, ocls = fused_encoder_tblock(
+        xT, cls, *args, num_heads=heads, valid=valid, interpret=True)
+    rT, rcls = _tblock_reference(
+        xT, cls, *args, num_heads=heads, valid=valid, eps=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(from_transposed_stream(oT, ocls, valid)),
+        np.asarray(from_transposed_stream(rT, rcls, valid)),
+        atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("res", [48, 64])  # 9 patches (padded) / 16 patches
+def test_vit_fused_t_matches_xla(res):
+    m_x, m_f = _build("xla"), _build("fused_t")
+    params, img = _params_and_image(m_x, res=res)
+    ox = m_x.apply({"params": params}, img)
+    of = m_f.apply({"params": params}, img)
+    np.testing.assert_allclose(np.asarray(ox), np.asarray(of), atol=1e-4, rtol=1e-4)
+
+
+def test_vit_fused_t_nomax_matches_xla():
+    m_x = _build("xla")
+    m_f = _build("fused_t", nomax_softmax=True)
+    params, img = _params_and_image(m_x)
+    ox = m_x.apply({"params": params}, img)
+    of = m_f.apply({"params": params}, img)
+    np.testing.assert_allclose(np.asarray(ox), np.asarray(of), atol=1e-4, rtol=1e-4)
+
+
+def test_vit_fused_t_grads_match_xla():
+    m_x, m_f = _build("xla"), _build("fused_t")
+    params, img = _params_and_image(m_x)
+
+    def loss(model):
+        return lambda p: jnp.sum(model.apply({"params": p}, img) ** 2)
+
+    gx, _ = ravel_pytree(jax.grad(loss(m_x))(params))
+    gf, _ = ravel_pytree(jax.grad(loss(m_f))(params))
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gf), atol=1e-4, rtol=1e-3)
+
+
+def test_vit_fused_t_falls_back_when_ineligible():
+    # LayerScale (init_values) is unsupported by the transposed kernel; the
+    # Encoder must silently fall back to the natural-layout fused path and
+    # still match xla.
+    m_x = _build("xla", init_values=1e-4)
+    m_f = _build("fused_t", init_values=1e-4)
+    params, img = _params_and_image(m_x)
+    ox = m_x.apply({"params": params}, img)
+    of = m_f.apply({"params": params}, img)
+    np.testing.assert_allclose(np.asarray(ox), np.asarray(of), atol=1e-4, rtol=1e-4)
+
+
+def test_vit_fused_t_sharded_matches_unsharded():
+    m_f = _build("fused_t")
+    params, img = _params_and_image(m_f, batch=8)
+    ref = m_f.apply({"params": params}, img)
+    mesh = create_mesh(data=4, fsdp=2, tensor=1)
+    imgs = jax.device_put(img, batch_sharding(mesh))
+    with use_mesh(mesh):
+        out = jax.jit(lambda p, x: m_f.apply({"params": p}, x))(params, imgs)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=1e-4, rtol=1e-4)
