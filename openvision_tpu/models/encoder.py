@@ -413,7 +413,13 @@ class Encoder(nn.Module):
     def _fused_t_eligible(self, x, deterministic) -> bool:
         """Transposed-stream fusion needs the plain CLIP-vision-encode shape:
         cls-first self-attention, no masks/LayerScale/scan, inference-mode
-        dropout, and tanh GELU (the in-kernel activation)."""
+        dropout, and tanh GELU (the in-kernel activation). Batch-sharded
+        only: under tensor-parallelism the TP-aware fused path runs instead."""
+        from openvision_tpu.parallel import active_mesh
+
+        mesh = active_mesh()
+        if mesh is not None and mesh.shape.get("tensor", 1) > 1:
+            return False
         inits = _make_inits(self.init_style, x.shape[-1], self.depth)
         return (
             self.attn_impl == "fused_t"

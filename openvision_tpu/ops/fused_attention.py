@@ -115,7 +115,8 @@ def _kernel(
 
 def _fused_fwd_impl(y, wq, wk, wv, biases, num_heads, sm_scale, causal, interpret):
     b, l, d = y.shape
-    head_dim = d // num_heads
+    dl = wq.shape[1]  # projection width; < d under head-sharded TP
+    head_dim = dl // num_heads
     lp = _ceil_to(l, 128)
     hchunk = _pick_hchunk(num_heads, head_dim, lp)
 
@@ -137,13 +138,13 @@ def _fused_fwd_impl(y, wq, wk, wv, biases, num_heads, sm_scale, causal, interpre
         grid=(b, 1, 1),
         in_specs=[
             pl.BlockSpec((1, lp, d), lambda i, _, __: (i, 0, 0)),
-            pl.BlockSpec((d, d), lambda i, _, __: (0, 0)),
-            pl.BlockSpec((d, d), lambda i, _, __: (0, 0)),
-            pl.BlockSpec((d, d), lambda i, _, __: (0, 0)),
-            pl.BlockSpec((3, d), lambda i, _, __: (0, 0)),
+            pl.BlockSpec((dl, d), lambda i, _, __: (0, 0)),
+            pl.BlockSpec((dl, d), lambda i, _, __: (0, 0)),
+            pl.BlockSpec((dl, d), lambda i, _, __: (0, 0)),
+            pl.BlockSpec((3, dl), lambda i, _, __: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, lp, d), lambda i, _, __: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, lp, d), y.dtype),
+        out_specs=pl.BlockSpec((1, lp, dl), lambda i, _, __: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, lp, dl), y.dtype),
         interpret=interpret,
     )(yp, wqT, wkT, wvT, bias3)
 
@@ -153,7 +154,8 @@ def _fused_fwd_impl(y, wq, wk, wv, biases, num_heads, sm_scale, causal, interpre
 def _reference(y, wq, wk, wv, biases, num_heads, sm_scale, causal):
     """Mathematically identical unfused path (used for the backward pass)."""
     b, l, d = y.shape
-    hd = d // num_heads
+    dl = wq.shape[1]
+    hd = dl // num_heads
     q = (y @ wq + biases[0]).reshape(b, l, num_heads, hd) * sm_scale
     k = (y @ wk + biases[1]).reshape(b, l, num_heads, hd)
     v = (y @ wv + biases[2]).reshape(b, l, num_heads, hd)
@@ -162,7 +164,7 @@ def _reference(y, wq, wk, wv, biases, num_heads, sm_scale, causal):
         mask = jnp.tril(jnp.ones((l, l), bool))
         s = jnp.where(mask, s, NEG_INF)
     p = jax.nn.softmax(s, axis=-1).astype(y.dtype)
-    return jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(b, l, d)
+    return jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(b, l, dl)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
@@ -216,6 +218,14 @@ def fused_qkv_attention(
     biases = jnp.stack(
         [b if b is not None else zeros for b in (bq, bk, bv)]
     )
+    info = _tp_info(num_heads)
+    if info is not None:
+        # head-sharded TP: output D is sharded over `tensor` in head-major
+        # chunks, matching the row-sharded out-proj that consumes it.
+        mesh, baxes, t = info
+        cfg = (mesh, baxes, t, num_heads, sm_scale, causal, interpret)
+        return _tp_qkv(cfg, y.astype(y.dtype), wq.astype(y.dtype),
+                       wk.astype(y.dtype), wv.astype(y.dtype), biases)
     return _shard_over_batch(
         lambda y_, a, b_, c, e: _fused(
             y_, a, b_, c, e, num_heads, sm_scale, causal, interpret
@@ -398,8 +408,19 @@ def fused_mhsa_block(
     eps: float = 1e-6,
     interpret: bool = False,
 ) -> jax.Array:
-    """x + OutProj(MHA(LN(x))) in one Pallas kernel. x: (B, L, D)."""
+    """x + OutProj(MHA(LN(x))) in one Pallas kernel. x: (B, L, D).
+
+    Under a mesh with tensor>1 (and divisible heads) the tensor-parallel
+    head-sharded variant runs instead — see fused_mhsa_block_tp below.
+    """
     d = x.shape[-1]
+    tp_out = fused_mhsa_block_tp(
+        x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wo, bo,
+        num_heads=num_heads, sm_scale=sm_scale, causal=causal, eps=eps,
+        interpret=interpret,
+    )
+    if tp_out is not None:
+        return tp_out
     if sm_scale is None:
         sm_scale = (d // num_heads) ** -0.5
     zeros = jnp.zeros((d,), jnp.float32)
@@ -679,3 +700,331 @@ def _block_bwd_impl(x, wq, wk, wv, wo, vec, g, num_heads, sm_scale, causal,
     dx, dwq, dwk, dwv, dwo, dvec = outs
     return (dx, dwq.astype(wq.dtype), dwk.astype(wk.dtype),
             dwv.astype(wv.dtype), dwo.astype(wo.dtype), dvec.astype(vec.dtype))
+
+
+# ---------------------------------------------------------------------------
+# Tensor-parallel fused MHSA block: heads sharded over the `tensor` mesh axis
+# ---------------------------------------------------------------------------
+#
+# wq/wk/wv are column-sharded (each shard owns num_heads/T heads), wo is
+# row-sharded, and each shard computes a PARTIAL out-projection that is
+# psum'ed over "tensor" before bo + residual. The custom VJP sits OUTSIDE the
+# shard_maps with every collective explicit, so no weight ever enters a shard
+# whole: the only cross-shard traffic is the (B, L, D) partial activations
+# (fwd) and dx/dLN cotangents (bwd). Reference semantics: the `tensor` axis
+# rules of src/configs/openvision.py:74-89, which the reference only applies
+# to its UNFUSED einsum path.
+
+
+def _tp_info(num_heads: int):
+    """Returns (mesh, batch_axes, T) when head-sharded TP applies, else None."""
+    from openvision_tpu.parallel import active_mesh
+
+    mesh = active_mesh()
+    if mesh is None or "tensor" not in mesh.axis_names:
+        return None
+    t = mesh.shape["tensor"]
+    if t <= 1 or num_heads % t != 0:
+        return None
+    batch_axes = tuple(a for a in ("data", "fsdp") if a in mesh.axis_names)
+    return mesh, batch_axes, t
+
+
+def _block_partial_kernel(
+    x_ref, wq_ref, wk_ref, wv_ref, wo_ref, ln_ref, b_ref, o_ref,
+    *, num_heads, head_dim, lp, seq, causal, hchunk, eps,
+):
+    """Per-shard partial MHSA block: LN + local-head QKV + attention +
+    partial out-proj. NO residual, NO bo (both applied after the psum).
+
+    ln_ref: (2, D) ln scale/bias; b_ref: (3, DL) local bq/bk/bv with the
+    softmax scale pre-folded into row 0 alongside wq.
+    """
+    x = x_ref[0]  # (L, D)
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=1, keepdims=True) - mean * mean
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = (y * ln_ref[0:1, :] + ln_ref[1:2, :]).astype(x.dtype)
+
+    dims = (((1,), (0,)), ((), ()))
+    q = jax.lax.dot_general(y, wq_ref[...], dims,
+                            preferred_element_type=jnp.float32) + b_ref[0:1, :]
+    k = jax.lax.dot_general(y, wk_ref[...], dims,
+                            preferred_element_type=jnp.float32) + b_ref[1:2, :]
+    v = jax.lax.dot_general(y, wv_ref[...], dims,
+                            preferred_element_type=jnp.float32) + b_ref[2:3, :]
+
+    cdt = x.dtype
+    pad = ((0, 0), (0, lp - seq))
+    qT = jnp.pad(q.astype(cdt).T, pad)
+    kT = jnp.pad(k.astype(cdt).T, pad)
+    vT = jnp.pad(v.astype(cdt).T, pad)
+
+    parts = []
+    for c in range(num_heads // hchunk):
+        rows = slice(c * hchunk * head_dim, (c + 1) * hchunk * head_dim)
+        q3 = qT[rows].reshape(hchunk, head_dim, lp)
+        k3 = kT[rows].reshape(hchunk, head_dim, lp)
+        v3 = vT[rows].reshape(hchunk, head_dim, lp)
+        sT = jax.lax.dot_general(
+            k3, q3, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        krow = jax.lax.broadcasted_iota(jnp.int32, (1, lp, lp), 1)
+        valid = krow < seq
+        if causal:
+            qcol = jax.lax.broadcasted_iota(jnp.int32, (1, lp, lp), 2)
+            valid &= krow <= qcol
+        sT = jnp.where(valid, sT, NEG_INF)
+        m = jnp.max(sT, axis=1, keepdims=True)
+        p = jnp.exp(sT - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        l = jnp.where(l <= 0.0, 1.0, l)
+        oT = jax.lax.dot_general(
+            v3, p.astype(cdt), (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        parts.append((oT / l).reshape(hchunk * head_dim, lp).astype(cdt))
+
+    oT = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+    o = oT.T[:seq]  # (L, DL)
+    out = jax.lax.dot_general(o, wo_ref[...], dims,
+                              preferred_element_type=jnp.float32)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _block_partial_fwd_impl(x, wq, wk, wv, wo, ln2, bqkv, num_heads, sm_scale,
+                            causal, eps, interpret):
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, l, d = x.shape
+    dl = wq.shape[1]
+    head_dim = dl // num_heads
+    lp = _ceil_to(l, 128)
+    hchunk = _pick_hchunk(num_heads, head_dim, lp, budget=10 * 1024 * 1024)
+
+    wqs = (wq * sm_scale).astype(x.dtype)
+    b3 = bqkv.at[0].multiply(sm_scale).astype(jnp.float32)
+
+    return pl.pallas_call(
+        functools.partial(
+            _block_partial_kernel, num_heads=num_heads, head_dim=head_dim,
+            lp=lp, seq=l, causal=causal, hchunk=hchunk, eps=eps,
+        ),
+        grid=(b, 1, 1),
+        in_specs=[
+            pl.BlockSpec((1, l, d), lambda i, _, __: (i, 0, 0)),
+            pl.BlockSpec((d, dl), lambda i, _, __: (0, 0)),
+            pl.BlockSpec((d, dl), lambda i, _, __: (0, 0)),
+            pl.BlockSpec((d, dl), lambda i, _, __: (0, 0)),
+            pl.BlockSpec((dl, d), lambda i, _, __: (0, 0)),
+            pl.BlockSpec((2, d), lambda i, _, __: (0, 0)),
+            pl.BlockSpec((3, dl), lambda i, _, __: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, l, d), lambda i, _, __: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, l, d), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(x, wqs, wk.astype(x.dtype), wv.astype(x.dtype), wo.astype(x.dtype),
+      ln2.astype(jnp.float32), b3)
+
+
+def _block_partial_reference(x, wq, wk, wv, wo, ln2, bqkv, num_heads,
+                             sm_scale, causal, eps):
+    """jnp twin of the partial kernel (bwd + tests)."""
+    b, l, d = x.shape
+    dl = wq.shape[1]
+    hd = dl // num_heads
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, -1, keepdims=True)
+    var = jnp.var(xf, -1, keepdims=True)
+    y = ((xf - mean) * jax.lax.rsqrt(var + eps) * ln2[0] + ln2[1]).astype(x.dtype)
+    q = (y @ wq * sm_scale + bqkv[0] * sm_scale).reshape(b, l, num_heads, hd)
+    k = (y @ wk + bqkv[1]).reshape(b, l, num_heads, hd)
+    v = (y @ wv + bqkv[2]).reshape(b, l, num_heads, hd)
+    s = jnp.einsum("bqhd,bkhd->bhqk", q.astype(x.dtype), k.astype(x.dtype)
+                   ).astype(jnp.float32)
+    if causal:
+        s = jnp.where(jnp.tril(jnp.ones((l, l), bool)), s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1).astype(x.dtype)
+    o = jnp.einsum("bhqk,bkhd->bqhd", p, v.astype(x.dtype)).reshape(b, l, dl)
+    return (o @ wo).astype(x.dtype)
+
+
+def _tp_block_call(cfg, x, wq, wk, wv, wo, ln2, bqkv, bo):
+    """Forward: shard_map'ed partial kernels + explicit psum over tensor."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    mesh, baxes, t, num_heads, sm_scale, causal, eps, interpret = cfg
+    nh_l = num_heads // t
+
+    def body(x, wq, wk, wv, wo, ln2, bqkv):
+        part = _block_partial_fwd_impl(
+            x, wq, wk, wv, wo, ln2, bqkv, nh_l, sm_scale, causal, eps,
+            interpret)
+        return jax.lax.psum(part, "tensor")
+
+    out = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(baxes), P(None, "tensor"), P(None, "tensor"),
+                  P(None, "tensor"), P("tensor", None), P(), P(None, "tensor")),
+        out_specs=P(baxes),
+        check_vma=False,
+    )(x, wq, wk, wv, wo, ln2, bqkv)
+    return x + out + bo
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _tp_block(cfg, x, wq, wk, wv, wo, ln2, bqkv, bo):
+    return _tp_block_call(cfg, x, wq, wk, wv, wo, ln2, bqkv, bo)
+
+
+def _tp_block_fwd(cfg, x, wq, wk, wv, wo, ln2, bqkv, bo):
+    out = _tp_block_call(cfg, x, wq, wk, wv, wo, ln2, bqkv, bo)
+    return out, (x, wq, wk, wv, wo, ln2, bqkv)
+
+
+def _tp_block_bwd(cfg, res, g):
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    mesh, baxes, t, num_heads, sm_scale, causal, eps, interpret = cfg
+    nh_l = num_heads // t
+    x, wq, wk, wv, wo, ln2, bqkv = res
+
+    def body(x, g, wq, wk, wv, wo, ln2, bqkv):
+        _, vjp = jax.vjp(
+            lambda x_, a, b_, c, d_, l2, bq: _block_partial_reference(
+                x_, a, b_, c, d_, l2, bq, nh_l, sm_scale, causal, eps),
+            x, wq, wk, wv, wo, ln2, bqkv,
+        )
+        dx_p, dwq, dwk, dwv, dwo, dln2_p, dbqkv = vjp(g)
+        dx = jax.lax.psum(dx_p, "tensor")
+        dln2 = jax.lax.psum(dln2_p, ("tensor",) + baxes) if baxes else \
+            jax.lax.psum(dln2_p, "tensor")
+        if baxes:
+            dwq = jax.lax.psum(dwq, baxes)
+            dwk = jax.lax.psum(dwk, baxes)
+            dwv = jax.lax.psum(dwv, baxes)
+            dwo = jax.lax.psum(dwo, baxes)
+            dbqkv = jax.lax.psum(dbqkv, baxes)
+        return dx, dwq, dwk, dwv, dwo, dln2, dbqkv
+
+    dx_ln, dwq, dwk, dwv, dwo, dln2, dbqkv = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(baxes), P(baxes), P(None, "tensor"), P(None, "tensor"),
+                  P(None, "tensor"), P("tensor", None), P(), P(None, "tensor")),
+        out_specs=(P(baxes), P(None, "tensor"), P(None, "tensor"),
+                   P(None, "tensor"), P("tensor", None), P(), P(None, "tensor")),
+        check_vma=False,
+    )(x, g, wq, wk, wv, wo, ln2, bqkv)
+
+    dbo = jnp.sum(g.astype(jnp.float32), axis=(0, 1)).astype(g.dtype)
+    return (g + dx_ln, dwq, dwk, dwv, dwo, dln2, dbqkv, dbo)
+
+
+_tp_block.defvjp(_tp_block_fwd, _tp_block_bwd)
+
+
+def fused_mhsa_block_tp(
+    x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wo, bo,
+    *, num_heads, sm_scale=None, causal=False, eps=1e-6, interpret=False,
+):
+    """Tensor-parallel x + OutProj(MHA(LN(x))): heads sharded over `tensor`.
+
+    Returns None when TP does not apply (no mesh / tensor=1 / indivisible
+    heads) so the caller can use the batch-sharded path.
+    """
+    info = _tp_info(num_heads)
+    if info is None:
+        return None
+    mesh, baxes, t = info
+    d = x.shape[-1]
+    if sm_scale is None:
+        sm_scale = (d // num_heads) ** -0.5
+    zeros = jnp.zeros((d,), jnp.float32)
+    ln2 = jnp.stack([ln_scale.astype(jnp.float32), ln_bias.astype(jnp.float32)])
+    bqkv = jnp.stack([
+        (b if b is not None else zeros).astype(jnp.float32)
+        for b in (bq, bk, bv)
+    ])
+    bo_f = (bo if bo is not None else zeros).astype(x.dtype)
+    cfg = (mesh, baxes, t, num_heads, sm_scale, causal, eps, interpret)
+    return _tp_block(cfg, x, wq.astype(x.dtype), wk.astype(x.dtype),
+                     wv.astype(x.dtype), wo.astype(x.dtype), ln2, bqkv, bo_f)
+
+
+# ---------------------------------------------------------------------------
+# Tensor-parallel fused QKV+attention (pre-out-proj): head-sharded output
+# ---------------------------------------------------------------------------
+#
+# Output (B, L, D) is sharded over `tensor` on D in head-major chunks — the
+# same contiguous layout GSPMD uses for the row-sharded out-projection that
+# consumes it, so no resharding happens between kernel and out-proj.
+
+
+def _tp_qkv_call(cfg, y, wq, wk, wv, biases):
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    mesh, baxes, t, num_heads, sm_scale, causal, interpret = cfg
+    nh_l = num_heads // t
+
+    def body(y, wq, wk, wv, biases):
+        return _fused_fwd_impl(y, wq, wk, wv, biases, nh_l, sm_scale, causal,
+                               interpret)
+
+    return shard_map(
+        body, mesh=mesh,
+        in_specs=(P(baxes), P(None, "tensor"), P(None, "tensor"),
+                  P(None, "tensor"), P(None, "tensor")),
+        out_specs=P(baxes, None, "tensor"),
+        check_vma=False,
+    )(y, wq, wk, wv, biases)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _tp_qkv(cfg, y, wq, wk, wv, biases):
+    return _tp_qkv_call(cfg, y, wq, wk, wv, biases)
+
+
+def _tp_qkv_fwd(cfg, y, wq, wk, wv, biases):
+    return _tp_qkv_call(cfg, y, wq, wk, wv, biases), (y, wq, wk, wv, biases)
+
+
+def _tp_qkv_bwd(cfg, res, g):
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    mesh, baxes, t, num_heads, sm_scale, causal, interpret = cfg
+    nh_l = num_heads // t
+    y, wq, wk, wv, biases = res
+
+    def body(y, g, wq, wk, wv, biases):
+        _, vjp = jax.vjp(
+            lambda y_, a, b_, c, bias: _reference(
+                y_, a, b_, c, bias, nh_l, sm_scale, causal),
+            y, wq, wk, wv, biases,
+        )
+        dy_p, dwq, dwk, dwv, dbias = vjp(g)
+        dy = jax.lax.psum(dy_p, "tensor")
+        if baxes:
+            dwq = jax.lax.psum(dwq, baxes)
+            dwk = jax.lax.psum(dwk, baxes)
+            dwv = jax.lax.psum(dwv, baxes)
+            dbias = jax.lax.psum(dbias, baxes)
+        return dy, dwq, dwk, dwv, dbias
+
+    return shard_map(
+        body, mesh=mesh,
+        in_specs=(P(baxes), P(baxes, None, "tensor"), P(None, "tensor"),
+                  P(None, "tensor"), P(None, "tensor"), P(None, "tensor")),
+        out_specs=(P(baxes), P(None, "tensor"), P(None, "tensor"),
+                   P(None, "tensor"), P(None, "tensor")),
+        check_vma=False,
+    )(y, g, wq, wk, wv, biases)
+
+
+_tp_qkv.defvjp(_tp_qkv_fwd, _tp_qkv_bwd)
