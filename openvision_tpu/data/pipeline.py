@@ -124,13 +124,15 @@ def get_source(data_cfg) -> grain.RandomAccessDataSource:
         return WebdatasetTarSource(paths)
     if name == "tfds":
         try:
-            import tensorflow_datasets as tfds  # noqa: F401
-        except ImportError as e:
-            raise ImportError("tensorflow_datasets is not available") from e
-        builder = __import__("tensorflow_datasets").builder_from_directory(
-            data_cfg["data_dir"]
-        )
-        return builder.as_data_source(split=data_cfg["split"])
+            import tensorflow_datasets as tfds
+
+            builder = tfds.builder_from_directory(data_cfg["data_dir"])
+            return builder.as_data_source(split=data_cfg["split"])
+        except ImportError:
+            # package absent: serve the same directory from first principles
+            return TfdsDirectorySource(
+                data_cfg["data_dir"], data_cfg.get("split", "train")
+            )
     raise ValueError(f"Unknown data source: {name!r}")
 
 
@@ -219,12 +221,16 @@ def make_for_inference(
     batch_size: int,
     *,
     seed: int = 0,
+    num_workers: int = 0,
 ):
     """Eval pipeline: one epoch, final batch zero-padded with a `_mask` key.
 
     The infinite-padding trick from the reference (input_pipeline.py:141-182):
     downstream metric code sums `_mask` to count real examples, so multihost
-    evals never hang on ragged final batches.
+    evals never hang on ragged final batches. With `num_workers > 0` the pp
+    runs in grain worker processes (the reference pipelines eval pp through
+    parallel tf.data threads, input_pipeline.py:141-189) — evaluators should
+    pass their pp string here rather than mapping per example on the host.
     """
     import_pp_modules()
     pp_fn = build_pp_fn(pp_string) if pp_string else (lambda d, r: d)
@@ -243,7 +249,7 @@ def make_for_inference(
             data_source=source,
             sampler=sampler,
             operations=[PpTransform(pp_fn)],
-            worker_count=0,
+            worker_count=num_workers,
         )
         buf: list[dict] = []
         for ex in loader:
@@ -359,3 +365,96 @@ class WebdatasetTarSource(grain.RandomAccessDataSource):
         out.setdefault("txt", "")
         out.setdefault("llava_caption", out["txt"])
         return out
+
+
+class TfdsDirectorySource(grain.RandomAccessDataSource):
+    """Random access over a TFDS-format dataset directory WITHOUT the
+    tensorflow_datasets package.
+
+    The reference reads DataComp/ImageNet shards via
+    `tfds.builder_from_directory` (src/datasets/tfds.py:39); this serves the
+    same directories from first principles: TFRecord shard files are scanned
+    once to index record offsets (framing: u64 length + u32 crc + payload +
+    u32 crc), and records are parsed as tf.train.Example protos with every
+    feature decoded generically (bytes/int64/float; singletons unwrapped).
+    Image features stay ENCODED (the reference's skip-decode, tfds.py:44) —
+    the pp `decode` op handles decoding in workers.
+    """
+
+    def __init__(self, data_dir: str, split: str = "train"):
+        import glob as _glob
+        import struct
+
+        pats = [
+            os.path.join(data_dir, f"*-{split}.tfrecord-*"),
+            os.path.join(data_dir, f"*.{split}.tfrecord-*"),
+            os.path.join(data_dir, f"{split}.tfrecord-*"),
+        ]
+        self._shards: list[str] = []
+        for p in pats:
+            self._shards = sorted(_glob.glob(p))
+            if self._shards:
+                break
+        if not self._shards:
+            raise FileNotFoundError(
+                f"no TFRecord shards for split {split!r} in {data_dir}"
+            )
+        # (shard_idx, offset, payload_size) per record
+        self._index: list[tuple[int, int, int]] = []
+        for si, path in enumerate(self._shards):
+            with open(path, "rb") as f:
+                while True:
+                    head = f.read(8)
+                    if len(head) < 8:
+                        break
+                    (length,) = struct.unpack("<Q", head)
+                    f.seek(4, 1)  # length crc
+                    self._index.append((si, f.tell(), length))
+                    f.seek(length + 4, 1)  # payload + payload crc
+        self._handles: dict[int, Any] = {}
+        self._label_names = _tfds_label_names(data_dir)
+
+    def __len__(self):
+        return len(self._index)
+
+    @property
+    def label_names(self):
+        return self._label_names
+
+    def _file(self, shard: int):
+        f = self._handles.get(shard)
+        if f is None or f.closed:
+            f = open(self._shards[shard], "rb")
+            self._handles[shard] = f
+        return f
+
+    def __getitem__(self, i: int):
+        from tensorflow.core.example import example_pb2
+
+        shard, offset, size = self._index[i]
+        f = self._file(shard)
+        f.seek(offset)
+        ex = example_pb2.Example.FromString(f.read(size))
+        out: dict[str, Any] = {}
+        for name, feat in ex.features.feature.items():
+            kind = feat.WhichOneof("kind")
+            if kind == "bytes_list":
+                vals = list(feat.bytes_list.value)
+            elif kind == "int64_list":
+                vals = [int(v) for v in feat.int64_list.value]
+            elif kind == "float_list":
+                vals = [float(v) for v in feat.float_list.value]
+            else:
+                continue
+            out[name] = vals[0] if len(vals) == 1 else vals
+        return out
+
+
+def _tfds_label_names(data_dir: str):
+    """Reads class names from TFDS metadata files when present."""
+    for fname in ("label.labels.txt", "labels.labels.txt"):
+        path = os.path.join(data_dir, fname)
+        if os.path.exists(path):
+            with open(path) as f:
+                return [l.rstrip("\n") for l in f]
+    return None

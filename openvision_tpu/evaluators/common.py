@@ -20,14 +20,25 @@ _TYPES = {
 }
 
 
-def from_config(config, model, mesh) -> List[Tuple[str, Any, int, str]]:
+def from_config(
+    config, model, mesh, on_error=None
+) -> List[Tuple[str, Any, int, str]]:
+    """Builds evaluators from config.evals. An evaluator whose data/config is
+    unavailable is skipped individually (reported via `on_error(name, exc)`)
+    rather than disabling the whole set."""
     evaluators = []
     for name, cfg in config.get("evals", {}).items():
         cfg = dict(cfg)
         etype = cfg.pop("type", name)
-        module = importlib.import_module(_TYPES.get(etype, etype))
         log_steps = cfg.pop("log_steps", 1000)
         prefix = cfg.pop("prefix", f"{name}/")
-        evaluator = module.Evaluator(model=model, mesh=mesh, **cfg)
+        try:
+            module = importlib.import_module(_TYPES.get(etype, etype))
+            evaluator = module.Evaluator(model=model, mesh=mesh, **cfg)
+        except Exception as e:
+            if on_error is not None:
+                on_error(name, e)
+                continue
+            raise
         evaluators.append((name, evaluator, log_steps, prefix))
     return evaluators

@@ -2,15 +2,21 @@
 
 Capability parity with reference src/evaluators/proj/image_text/
 discriminative_classifier.py: class-name × prompt-template text embeddings
-averaged and normalized per class, then top-1 accuracy of zimg·ztxtᵀ over an
-infinite-padded eval stream with `_mask` counting.
+averaged and normalized per class (split across processes and gathered, ref
+:128-153), then top-1 accuracy of zimg·ztxtᵀ over an infinite-padded eval
+stream with `_mask` counting; optional multi-label "real labels" counting
+(ref :300-336). Image pp runs inside the grain pipeline (worker processes
+with `num_workers>0`), not in a host loop.
 
 Dataset injection: pass `data_dir` pointing at an npz file with
-{"image": (N,H,W,3) uint8, "label": (N,)} or provide a grain source via
-`source`. (TFDS is gated — not installed in this image.)
+{"image": (N,H,W,3) uint8, "label": (N,)}, a TFDS-format directory
+(served by TfdsDirectorySource without the tfds package), or a grain
+source via `source`.
 """
 
 from __future__ import annotations
+
+import os
 
 import jax
 import jax.numpy as jnp
@@ -38,14 +44,18 @@ class Evaluator:
         canonicalize: bool = True,
         first_class_name_only: bool = False,
         source=None,
+        num_workers: int = 0,
+        multi_label_key: str = "",
         **unused,
     ):
         self.model = model
         self.mesh = mesh
         self.dataset_name = dataset_names[0] if dataset_names else "imagenet2012"
         self.batch_size = batch_size
+        self.num_workers = num_workers
+        self.multi_label_key = multi_label_key
         import_pp_modules()
-        self.pp_img = build_pp_fn(pp_img) if pp_img else None
+        self.pp_img_string = pp_img
         self.pp_txt = build_pp_fn(pp_txt) if pp_txt else None
 
         self.class_names = prompt_lib.get_class_names(
@@ -63,6 +73,8 @@ class Evaluator:
                 "image": rng.randint(0, 255, (32, 64, 64, 3), np.uint8),
                 "label": rng.randint(0, 1000, (32,)),
             })
+        elif data_dir and os.path.isdir(data_dir):
+            self.source = pipe.TfdsDirectorySource(data_dir, split)
         elif data_dir:
             data = np.load(data_dir)
             self.source = pipe.DictSource({"image": data["image"], "label": data["label"]})
@@ -85,31 +97,58 @@ class Evaluator:
     def _count_impl(self, params, image, labels, mask, class_embs):
         zimg = self._embed_image_impl(params, image)
         logits = jnp.dot(zimg, class_embs.T)
-        correct = (jnp.argmax(logits, axis=-1) == labels).astype(jnp.float32)
+        pred = jnp.argmax(logits, axis=-1)
+        if labels.ndim == 2:
+            # multi-label "real labels" counting (ref :300-336): correct when
+            # the prediction matches ANY valid label; rows padded with -1.
+            hit = jnp.any(pred[:, None] == labels, axis=-1)
+            has_any = jnp.any(labels >= 0, axis=-1)
+            correct = (hit & has_any).astype(jnp.float32)
+            mask = mask * has_any.astype(jnp.float32)
+        else:
+            correct = (pred == labels).astype(jnp.float32)
         return jnp.sum(correct * mask), jnp.sum(mask)
 
     def _build_class_embeddings(self, params) -> jax.Array:
-        """Per-class prompt-averaged normalized text embeddings."""
-        embs = []
-        t_bs = 512
+        """Per-class prompt-averaged normalized text embeddings.
+
+        Multi-host: each process tokenizes only its slice of the class list
+        (ref discriminative_classifier.py:128-153) and contributes it as its
+        local shard of the global embed batch; `_embed_texts` outputs
+        replicated, so every process reconstructs the full class matrix with
+        no extra collective.
+        """
+        n_proc = jax.process_count()
+        n_t = len(self.templates)
+        splits = np.array_split(np.arange(len(self.class_names)), n_proc)
+        c_max = max(len(s) for s in splits)
+        local_idx = list(splits[jax.process_index()])
+        local_idx += [0] * (c_max - len(local_idx))  # equalize across procs
+
         all_tokens = []
-        for cname in self.class_names:
+        for ci in local_idx:
+            cname = self.class_names[ci]
             for tmpl in self.templates:
                 text = tmpl.format(cname) if "{}" in tmpl else f"{tmpl} {cname}"
                 data = self.pp_txt({"texts": text}, np.random.default_rng(0))
                 all_tokens.append(data["labels"])
-        tokens = np.stack(all_tokens)  # (C*T, L)
-        n_t = len(self.templates)
-        outs = []
+        tokens = np.stack(all_tokens)  # (c_max*T, L), same count on all procs
+
+        t_bs = 512
+        per_proc: list[np.ndarray] = []
         for i in range(0, len(tokens), t_bs):
             chunk = tokens[i : i + t_bs]
-            pad = t_bs - len(chunk)
-            if pad:
-                chunk = np.pad(chunk, ((0, pad), (0, 0)))
-            chunk = local_batch_to_global(chunk, self.mesh)
-            z = jax.device_get(self._embed_texts(params, chunk))
-            outs.append(z[: t_bs - pad])
-        z = np.concatenate(outs).reshape(len(self.class_names), n_t, -1)
+            real = len(chunk)
+            if real < t_bs:
+                chunk = np.pad(chunk, ((0, t_bs - real), (0, 0)))
+            g = local_batch_to_global(chunk, self.mesh)
+            z = jax.device_get(self._embed_texts(params, g))
+            # rows [p*t_bs : p*t_bs+real] belong to process p's classes
+            per_proc.append(z.reshape(n_proc, t_bs, -1)[:, :real])
+        zs = np.concatenate(per_proc, axis=1)  # (n_proc, c_max*T, D)
+        z = np.concatenate(
+            [zs[p][: len(splits[p]) * n_t] for p in range(n_proc)], axis=0
+        ).reshape(len(self.class_names), n_t, -1)
         z = z.mean(axis=1)
         z = z / (np.linalg.norm(z, axis=-1, keepdims=True) + 1e-8)
         return jax.device_put(
@@ -121,21 +160,20 @@ class Evaluator:
         class_embs = self._build_class_embeddings(params)
 
         it = pipe.make_for_inference(
-            self.source, "", self.batch_size
+            self.source, self.pp_img_string, self.batch_size,
+            num_workers=self.num_workers,
         )()
         ncorrect = ntotal = 0.0
-        rng = np.random.default_rng(0)
         for batch in it:
-            if self.pp_img is not None:
-                imgs = np.stack(
-                    [self.pp_img({"image": im}, rng)["image"] for im in batch["image"]]
-                )
-            else:
-                imgs = batch["image"]
+            label_key = (
+                self.multi_label_key
+                if self.multi_label_key and self.multi_label_key in batch
+                else "label"
+            )
             dev = local_batch_to_global(
-                {"image": imgs.astype(np.float32),
-                 "label": batch["label"].astype(np.int32),
-                 "mask": batch["_mask"].astype(np.float32)},
+                {"image": np.asarray(batch["image"], np.float32),
+                 "label": np.asarray(batch[label_key], np.int32),
+                 "mask": np.asarray(batch["_mask"], np.float32)},
                 self.mesh,
             )
             c, t = self._count(

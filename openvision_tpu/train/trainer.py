@@ -50,6 +50,19 @@ def maybe_distributed_init():
         jax.distributed.initialize()
 
 
+def sync(name: str):
+    """Multihost barrier (reference main_clip.py:673-779): all processes
+    rendezvous at `name`d points — data loading, reporting, checkpoint, eval,
+    final — which doubles as hang detection on pods (a wedged worker turns
+    into a visible barrier timeout instead of a silent divergence).
+    No-op single-process so single-chip runs pay nothing.
+    """
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
+
+
 def _load_transform(config, init_params, params_sharding):
     """Restores a checkpoint trained at a different geometry, adapting
     patch-embedding (bilinear kernel resize) and position embeddings."""
@@ -84,10 +97,13 @@ def _load_transform(config, init_params, params_sharding):
     return jax.device_put(merged, params_sharding)
 
 
-def build_evaluators(config, model, mesh, writer):
+def build_evaluators(config, model, mesh, writer, note=print):
     from openvision_tpu.evaluators import common as eval_common
 
-    return eval_common.from_config(config, model, mesh)
+    return eval_common.from_config(
+        config, model, mesh,
+        on_error=lambda name, e: note(f"evaluator {name!r} disabled: {e}"),
+    )
 
 
 def train(config, workdir: Optional[str] = None):
@@ -196,10 +212,7 @@ def train(config, workdir: Optional[str] = None):
     # ----- evaluators -----
     evaluators = []
     if config.get("evals"):
-        try:
-            evaluators = build_evaluators(config, model, mesh, writer)
-        except Exception as e:  # evaluator data may be absent in dev runs
-            note(f"evaluators disabled: {e}")
+        evaluators = build_evaluators(config, model, mesh, writer, note=note)
 
     def run_evals(step, final=False):
         for name, evaluator, log_steps, prefix in evaluators:
@@ -230,6 +243,7 @@ def train(config, workdir: Optional[str] = None):
 
     note("starting training loop")
     for step, batch in zip(range(first_step + 1, total_steps + 1), train_iter):
+        sync("data_loading")
         writer.step_start(step)
         if workdir and prof_stop and step == prof_start and jax.process_index() == 0:
             jax.profiler.start_trace(os.path.join(workdir, "profile"))
@@ -246,9 +260,11 @@ def train(config, workdir: Optional[str] = None):
             if jax.process_index() == 0:
                 loss = float(jax.device_get(measurements["training_loss"]))
                 note(f"step {step}/{total_steps} loss={loss:.4f}")
+            sync("reporting")
 
         if ckpt_mngr and _should(step, ckpt_every, total_steps):
             chrono.pause(wait_for=jax.tree.leaves(train_state["params"]))
+            sync("save_ckpt")
             ckpt_lib.save_train_state(ckpt_mngr, step, train_state)
             if chrono_path and jax.process_index() == 0:
                 import json as _json
@@ -257,10 +273,15 @@ def train(config, workdir: Optional[str] = None):
                     _json.dump({k: float(v) for k, v in chrono.save().items()}, f)
             chrono.resume()
 
+        if evaluators and any(
+            _should(step, ls, total_steps) for _, _, ls, _ in evaluators
+        ):
+            sync("eval")
         run_evals(step)
 
     if ckpt_mngr:
         ckpt_mngr.wait_until_finished()
+    sync("final")
     run_evals(total_steps, final=True)
     writer.close()
     return train_state
