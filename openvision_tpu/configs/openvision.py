@@ -71,6 +71,12 @@ def get_config(arg: str | None = None) -> ConfigDict:
     c.input.shuffle_buffer_size = 250_000 if not arg.runlocal else 50
     c.input.txt_token_length = arg.token_len
     c.input.batch_size = int(1024 * 16 * arg.batch_factor)
+    # batch-level mixup/cutmix after grain.Batch (reference cpu_mixup /
+    # mixup.py:29). Off by default; supervised recipes flip `enabled`.
+    c.input.mixup = dict(
+        enabled=False, mixup_alpha=0.8, cutmix_alpha=1.0, switch_prob=0.5,
+        image_key="image", label_key="labels",
+    )
     c.init_shapes = [(128, arg.res, arg.res, 3), (256, arg.token_len)]
     c.init_types = ["float32", "int32"]
 

@@ -126,17 +126,44 @@ RANDAUG_OPS = {
 
 @pp_op("randaug")
 @inkey_outkey(indefault="image", outdefault="image")
-def get_randaug(num_layers=2, magnitude=10):
-    names = list(RANDAUG_OPS)
+def get_randaug(num_layers: int = 2, magnitude: int = 10,
+                increase: bool = True, timm: bool = False):
+    """Reference-parity RandAugment (ops_image.py:401, autoaugment.py:720):
+    per layer one uniformly-chosen op at the shared magnitude with the
+    reference level→arg mappings; `increase=True` uses the monotonic variants;
+    `timm=True` adds the 50% skip gate + N(m, 0.5) magnitude jitter."""
+    from openvision_tpu.data.ops_autoaugment import randaug_layers
 
     def op(image, rng):
-        img = np.asarray(image, np.uint8)
-        for _ in range(num_layers):
-            name = names[int(rng.integers(0, len(names)))]
-            # magnitude jitter like timm's rand-m#-mstd
-            mag = np.clip(rng.normal(magnitude, 0.5), 0, 10) / 10.0
-            img = RANDAUG_OPS[name](img, float(mag))
-        return img
+        return randaug_layers(
+            image, rng, num_layers=num_layers, magnitude=magnitude,
+            increase=increase, timm=timm,
+        )
+
+    return op
+
+
+@pp_op("color_jitter")
+@inkey_outkey(indefault="image", outdefault="image")
+def get_color_jitter(color_jitter=0.4):
+    """Plain color jitter (reference ops_image.py:344): random contrast then
+    random saturation in [max(0,1-s), 1+s] (brightness is disabled in the
+    reference too)."""
+    if isinstance(color_jitter, (list, tuple)):
+        assert len(color_jitter) == 3
+        _, b, c = color_jitter
+    else:
+        b = c = float(color_jitter)
+
+    def op(image, rng):
+        from PIL import ImageEnhance
+
+        img = _pil(image)
+        img = ImageEnhance.Contrast(img).enhance(
+            rng.uniform(max(0.0, 1 - b), 1 + b))
+        img = ImageEnhance.Color(img).enhance(
+            rng.uniform(max(0.0, 1 - c), 1 + c))
+        return _np(img)
 
     return op
 

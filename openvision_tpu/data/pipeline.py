@@ -151,6 +151,32 @@ class PpTransform(grain.RandomMapTransform):
         return self.pp_fn(dict(data), rng)
 
 
+@dataclasses.dataclass
+class MixupCutmixTransform(grain.RandomMapTransform):
+    """Batch-level mixup/cutmix AFTER grain.Batch (the reference's cpu_mixup
+    path: MixupAndCutmix from mixup.py:29 applied on host batches)."""
+
+    image_key: str = "image"
+    label_key: str = "labels"
+    mixup_alpha: float = 0.8
+    cutmix_alpha: float = 1.0
+    switch_prob: float = 0.5
+    num_classes: int | None = None
+
+    def random_map(self, batch, rng: np.random.Generator):
+        from openvision_tpu.data.ops_aug import mixup_cutmix
+
+        batch = dict(batch)
+        images, labels = mixup_cutmix(
+            batch[self.image_key], batch[self.label_key], rng,
+            mixup_alpha=self.mixup_alpha, cutmix_alpha=self.cutmix_alpha,
+            switch_prob=self.switch_prob, num_classes=self.num_classes,
+        )
+        batch[self.image_key] = images
+        batch[self.label_key] = labels
+        return batch
+
+
 # ---------------------------------------------------------------------------
 # Train pipeline
 # ---------------------------------------------------------------------------
@@ -177,13 +203,17 @@ def training(input_cfg, *, seed: int = 0, num_workers: int = 0):
         num_epochs=None,  # repeat forever
         seed=seed,
     )
+    operations = [
+        PpTransform(pp_fn),
+        grain.Batch(batch_size=local_bs, drop_remainder=True),
+    ]
+    mixup_cfg = dict(input_cfg.get("mixup") or {})
+    if mixup_cfg.pop("enabled", False):
+        operations.append(MixupCutmixTransform(**mixup_cfg))
     loader = grain.DataLoader(
         data_source=source,
         sampler=sampler,
-        operations=[
-            PpTransform(pp_fn),
-            grain.Batch(batch_size=local_bs, drop_remainder=True),
-        ],
+        operations=operations,
         worker_count=num_workers,
     )
     return loader, len(source)

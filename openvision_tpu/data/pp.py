@@ -79,7 +79,8 @@ def build_pp_fn(pp_string: str) -> Callable:
 
 
 def import_pp_modules(
-    names=("ops_general", "ops_image", "ops_text", "bert_ops", "ops_aug")
+    names=("ops_general", "ops_image", "ops_text", "bert_ops", "ops_aug",
+           "ops_autoaugment")
 ):
     """Imports op modules so their registrations run (reference main_clip.py:104)."""
     import importlib
