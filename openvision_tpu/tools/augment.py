@@ -102,3 +102,87 @@ def total_variation(images: jax.Array) -> jax.Array:
     dy = jnp.abs(images[:, 1:] - images[:, :-1]).mean()
     dx = jnp.abs(images[:, :, 1:] - images[:, :, :-1]).mean()
     return dx + dy
+
+
+# ---------------------------------------------------------------------------
+# cliptools aug-stack parity: Tile / Zoom / Centering / Flip / RepeatBatch
+# (reference cliptoolsoptimized.py:1333-1597), as pure jittable functions.
+# ---------------------------------------------------------------------------
+
+
+def tile(images: jax.Array, rep: int) -> jax.Array:
+    """Tiles each image rep x rep (reference Tile, :1333)."""
+    b, h, w, c = images.shape
+    x = images[:, None, :, None, :, :]
+    x = jnp.broadcast_to(x, (b, rep, h, rep, w, c))
+    return x.reshape(b, rep * h, rep * w, c)
+
+
+def zoom(images: jax.Array, out_size: int) -> jax.Array:
+    """Bilinear upsample to (out_size, out_size) (reference Zoom, :1640)."""
+    b, _, _, c = images.shape
+    return jax.image.resize(
+        images, (b, out_size, out_size, c), method="bilinear"
+    )
+
+
+def centering(rng: jax.Array, images: jax.Array, size: int, std: float) -> jax.Array:
+    """Center crop of `size` with a random ±std offset (reference Centering).
+
+    The offset is shared across the batch (matching the reference) so the
+    output shape stays static under jit.
+    """
+    b, h, w, _ = images.shape
+    pert = (jax.random.uniform(rng, (2,)) * 2.0 - 1.0) * std
+    y = jnp.clip(pert[0] + h // 2 - size // 2, 0, h - size).astype(jnp.int32)
+    x = jnp.clip(pert[1] + w // 2 - size // 2, 0, w - size).astype(jnp.int32)
+    return jax.lax.dynamic_slice(
+        images, (0, y, x, 0), (b, size, size, images.shape[-1])
+    )
+
+
+def flip(rng: jax.Array, images: jax.Array, p: float = 0.5) -> jax.Array:
+    """Horizontal flip of the whole batch with probability p (reference Flip)."""
+    do = jax.random.bernoulli(rng, p)
+    return jnp.where(do, images[:, :, ::-1, :], images)
+
+
+def repeat_batch(images: jax.Array, repeat: int) -> jax.Array:
+    """Repeats the batch `repeat` times (reference RepeatBatch, :1672)."""
+    return jnp.tile(images, (repeat, 1, 1, 1))
+
+
+def color_jitter_affine(rng: jax.Array, images: jax.Array, mean: float = 1.0,
+                        std: float = 1.0) -> jax.Array:
+    """(img - m) / s with per-sample random m and log-uniform s — the
+    reference's feature-viz ColorJitter (:1369), distinct from the photometric
+    color_jitter above."""
+    b = images.shape[0]
+    km, ks = jax.random.split(rng)
+    m = (jax.random.uniform(km, (b, 1, 1, 3)) - 0.5) * 2.0 * mean
+    s = jnp.exp((jax.random.uniform(ks, (b, 1, 1, 3)) - 0.5) * 2.0 * std)
+    return (images - m) / s
+
+
+# ---------------------------------------------------------------------------
+# Feature-viz loss zoo (reference LossArray members, :656-1332). The BN-
+# matching losses target CNN backbones; the ViT-applicable analogues here are
+# activation-norm and batch-diversity regularizers.
+# ---------------------------------------------------------------------------
+
+
+def activation_norm_loss(acts: jax.Array) -> jax.Array:
+    """Mean squared activation magnitude (reference activation-norm losses,
+    :908-1000) — penalizes runaway feature amplitudes during image opt."""
+    return jnp.mean(acts.astype(jnp.float32) ** 2)
+
+
+def diversity_loss(embeds: jax.Array) -> jax.Array:
+    """Negative mean pairwise cosine distance across the batch — encourages
+    the repeated-batch copies to explore distinct optima (reference batch-
+    diversity regularizer)."""
+    z = embeds / (jnp.linalg.norm(embeds, axis=-1, keepdims=True) + 1e-8)
+    sim = z @ z.T
+    b = sim.shape[0]
+    off_diag = (jnp.sum(sim) - jnp.trace(sim)) / (b * (b - 1) + 1e-8)
+    return off_diag
