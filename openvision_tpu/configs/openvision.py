@@ -34,6 +34,7 @@ def get_config(arg: str | None = None) -> ConfigDict:
         data_parallelism=-1,
         fsdp_parallelism=1,
         tensor_parallelism=1,
+        seq_parallelism=1,
         img_head=True,
         use_sovit=False,
         mask_ratio=0.0,
@@ -56,6 +57,9 @@ def get_config(arg: str | None = None) -> ConfigDict:
         data=arg.data_parallelism,
         fsdp=arg.fsdp_parallelism,
         tensor=arg.tensor_parallelism,
+        # ring-attention sequence sharding (beyond reference): seq>1 with
+        # attn_impl="ring" shards token dims over the `seq` mesh axis
+        seq=arg.seq_parallelism,
     )
 
     # ----- checkpoints / logging -----

@@ -115,6 +115,22 @@ class WordPieceTokenizer:
         self.bos_id = self.vocab.get("[bos]")
         self.eos_id = self.vocab.get("[eos]")
 
+        # Native C++ hot path (openvision_tpu/native/wordpiece.cpp) when
+        # libwordpiece.so is built and the defaults apply; verified on a
+        # canary string at load, falls back to pure Python otherwise.
+        self._native = None
+        if lower_case and unk_token == "[UNK]" and suffix == "##":
+            try:
+                from openvision_tpu.native.wordpiece import load_native
+
+                native = load_native(vocab_path)
+                if native is not None:
+                    canary = "Hello, naïve WordPiece test — ÜBER 123!"
+                    if native.encode(canary) == self._encode_py(canary):
+                        self._native = native
+            except Exception:
+                self._native = None
+
     def wordpiece(self, word: str) -> List[int]:
         if len(word) > self.max_chars:
             return [self.unk_id]
@@ -139,6 +155,16 @@ class WordPieceTokenizer:
 
     def encode(self, text: str) -> List[int]:
         """Tokenizes free text to WordPiece ids (no special tokens added)."""
+        if self._native is not None:
+            from openvision_tpu.native.wordpiece import CONTEXT_SENSITIVE
+
+            # Python str.lower applies the context-dependent final-sigma
+            # rule; the per-character native table cannot, so route those.
+            if not any(c in text for c in CONTEXT_SENSITIVE):
+                return self._native.encode(text)
+        return self._encode_py(text)
+
+    def _encode_py(self, text: str) -> List[int]:
         ids: List[int] = []
         for word in basic_tokenize(text, self.lower_case):
             ids.extend(self.wordpiece(word))

@@ -180,4 +180,19 @@ def dispatch_attention(
         return flash_attention(
             q, k, v, causal=causal, sm_scale=sm_scale, interpret=interpret
         )
+    if impl == "ring":
+        from openvision_tpu.ops.ring_attention import ring_attention_sharded
+        from openvision_tpu.parallel import active_mesh
+
+        mesh = active_mesh()
+        if mesh is None or mesh.shape.get("seq", 1) <= 1:
+            # no sequence sharding configured — plain attention
+            return xla_attention(
+                q, k, v, mask=mask, causal=causal, sm_scale=sm_scale,
+                dropout_rate=dropout_rate, dropout_rng=dropout_rng,
+                dtype=dtype,
+            )
+        return ring_attention_sharded(
+            q, k, v, mesh, seq_axis="seq", causal=causal, sm_scale=sm_scale
+        )
     raise ValueError(f"Unknown attention impl: {impl!r}")

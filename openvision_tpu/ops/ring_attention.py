@@ -31,8 +31,14 @@ def ring_attention(
     axis_name: str,
     causal: bool = False,
     sm_scale: float | None = None,
+    valid: int | None = None,
 ) -> jax.Array:
-    """Per-shard ring attention. q, k, v: (B, chunk, H, D) sequence slices."""
+    """Per-shard ring attention. q, k, v: (B, chunk, H, D) sequence slices.
+
+    `valid`: global number of real tokens — keys at positions >= valid are
+    masked out (supports sequence lengths that don't divide the ring size;
+    the wrapper pads and slices).
+    """
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
     n = jax.lax.axis_size(axis_name)
@@ -47,15 +53,21 @@ def ring_attention(
         k_i, v_i = kv
         src = (my - i) % n  # which shard's block we currently hold
         s = jnp.einsum("bqhd,bkhd->bhqk", qf, k_i.astype(jnp.float32))
+        k_pos = src * chunk + jnp.arange(chunk)
+        mask = None
         if causal:
-            k_pos = src * chunk + jnp.arange(chunk)
             mask = q_pos[:, None] >= k_pos[None, :]
+        if valid is not None:
+            kmask = jnp.broadcast_to(
+                (k_pos < valid)[None, :], (chunk, chunk))
+            mask = kmask if mask is None else (mask & kmask)
+        if mask is not None:
             s = jnp.where(mask[None, None], s, NEG_INF)
         cur_max = jnp.max(s, axis=-1, keepdims=True)
         new_max = jnp.maximum(row_max, cur_max)
         alpha = jnp.exp(row_max - new_max)
         p = jnp.exp(s - new_max)
-        if causal:
+        if mask is not None:
             p = jnp.where(mask[None, None], p, 0.0)
         acc = acc * alpha.swapaxes(1, 2) + jnp.einsum(
             "bhqk,bkhd->bqhd", p, v_i.astype(jnp.float32)
@@ -92,14 +104,25 @@ def ring_attention_sharded(
 ) -> jax.Array:
     """Shards the sequence dim over `seq_axis` and runs ring attention.
 
-    Inputs are global (B, L, H, D); L must divide by the axis size.
+    Inputs are global (B, L, H, D). Lengths that don't divide the axis size
+    (e.g. the 257/577-token cls+patches vision sequences) are zero-padded and
+    the pad keys masked inside the kernel.
     """
+    n = mesh.shape[seq_axis]
+    l = q.shape[1]
+    lpad = (l + n - 1) // n * n
+    valid = l if lpad != l else None
+    if lpad != l:
+        pad = ((0, 0), (0, lpad - l), (0, 0), (0, 0))
+        q, k, v = (jnp.pad(x, pad) for x in (q, k, v))
     batch = tuple(a for a in batch_axes if a in mesh.axis_names)
     spec = P(batch if batch else None, seq_axis, None, None)
     fn = functools.partial(
-        ring_attention, axis_name=seq_axis, causal=causal, sm_scale=sm_scale
+        ring_attention, axis_name=seq_axis, causal=causal, sm_scale=sm_scale,
+        valid=valid,
     )
-    return shard_map(
+    out = shard_map(
         fn, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
         check_vma=False,
     )(q, k, v)
+    return out[:, :l] if lpad != l else out

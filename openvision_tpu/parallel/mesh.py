@@ -26,15 +26,18 @@ from flax import linen as nn
 from jax.experimental import mesh_utils
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-MESH_AXES = ("data", "fsdp", "tensor")
+MESH_AXES = ("data", "fsdp", "tensor", "seq")
 
 # Logical axis name -> mesh axes. Same mapping the reference trains with
 # (src/configs/openvision.py:74-89): batch over (data, fsdp); params' embed
-# dim over fsdp (ZeRO-3); mlp/vocab/heads/norm over tensor.
+# dim over fsdp (ZeRO-3); mlp/vocab/heads/norm over tensor. The `seq` axis
+# (beyond reference) sequence-shards token dims for ring attention; it is
+# size 1 unless config.sharding.mesh.seq > 1, in which case every per-token
+# op shards over it via this rule and attention rides `ops/ring_attention`.
 LOGICAL_AXIS_RULES = (
     ("activation_batch", ("data", "fsdp")),
     ("activation_heads", ("tensor",)),
-    ("activation_length", None),
+    ("activation_length", ("seq",)),
     ("activation_embed", ("tensor",)),
     ("activation_mlp", ("tensor",)),
     ("activation_kv", ("tensor",)),
@@ -55,19 +58,20 @@ def create_mesh(
     data: int = -1,
     fsdp: int = 1,
     tensor: int = 1,
+    seq: int = 1,
     devices: Sequence[jax.Device] | None = None,
 ) -> Mesh:
-    """Builds the named 3-axis device mesh. `data=-1` absorbs the remainder."""
+    """Builds the named 4-axis device mesh. `data=-1` absorbs the remainder."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data == -1:
-        assert n % (fsdp * tensor) == 0, (n, fsdp, tensor)
-        data = n // (fsdp * tensor)
-    assert data * fsdp * tensor == n, (
-        f"mesh {data}x{fsdp}x{tensor} != {n} devices"
+        assert n % (fsdp * tensor * seq) == 0, (n, fsdp, tensor, seq)
+        data = n // (fsdp * tensor * seq)
+    assert data * fsdp * tensor * seq == n, (
+        f"mesh {data}x{fsdp}x{tensor}x{seq} != {n} devices"
     )
     device_array = mesh_utils.create_device_mesh(
-        (data, fsdp, tensor), devices=devices
+        (data, fsdp, tensor, seq), devices=devices
     )
     return Mesh(device_array, MESH_AXES)
 

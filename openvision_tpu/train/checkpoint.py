@@ -30,9 +30,14 @@ def create_checkpoint_manager(
     directory: str,
     *,
     save_interval_steps: int = 1,
-    max_to_keep: int = 1,
+    max_to_keep: int | None = 1,
     async_save: bool = True,
 ) -> ocp.CheckpointManager:
+    # "keep everything" configs pass a huge sentinel (keep_ckpt=1e8, matching
+    # the reference default); Orbax's native spelling for that is None, which
+    # also skips its per-save GC bookkeeping over the fake retention window.
+    if max_to_keep is not None and max_to_keep >= 10_000_000:
+        max_to_keep = None
     options = ocp.CheckpointManagerOptions(
         create=True,
         save_interval_steps=save_interval_steps,

@@ -120,6 +120,7 @@ def train(config, workdir: Optional[str] = None):
         data=mesh_cfg.get("data", -1),
         fsdp=mesh_cfg.get("fsdp", 1),
         tensor=mesh_cfg.get("tensor", 1),
+        seq=mesh_cfg.get("seq", 1),
     )
     note(f"mesh: {dict(mesh.shape)}")
 
