@@ -1,6 +1,7 @@
 """Determinism guarantees: same seed → identical results (reference
 `--deterministic` behavior, cliptoolsoptimized.py:84)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -33,6 +34,7 @@ def test_random_affine_deterministic():
     assert not np.array_equal(np.asarray(a), np.asarray(c))
 
 
+@pytest.mark.slow
 def test_train_step_rng_folds_in_step_count():
     """Per-step fold_in: the same loop rng gives different dropout per step
     (reference main_clip.py:422-426)."""

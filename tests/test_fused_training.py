@@ -1,5 +1,6 @@
 """Full CoCa train step with attn_impl=fused on a sharded CPU mesh."""
 
+import pytest
 import jax
 import numpy as np
 
@@ -8,6 +9,7 @@ from openvision_tpu.parallel import batch_sharding, create_mesh, replicated_shar
 from openvision_tpu.train import step as step_mod
 
 
+@pytest.mark.slow
 def test_train_step_fused_attention_sharded():
     c = cfg_mod.get_config(
         "res=32,img=mu/16,txt_name=Ti,txt_decoder_name=Ti,token_len=16,"

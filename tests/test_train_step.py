@@ -33,6 +33,7 @@ def _fake_batch(c, rng=0):
     }
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("mesh_shape", [(8, 1, 1), (2, 2, 2)])
 def test_train_step_runs_and_descends(mesh_shape):
     c = _tiny_config()
@@ -62,6 +63,7 @@ def test_train_step_runs_and_descends(mesh_shape):
     assert losses_seen[-1] < losses_seen[0]
 
 
+@pytest.mark.slow
 def test_update_count_advances():
     from openvision_tpu import optim
 
@@ -80,6 +82,7 @@ def test_update_count_advances():
     assert optim.get_count(state["opt"]) == 1
 
 
+@pytest.mark.slow
 def test_train_step_siglip_loss():
     c = _tiny_config()
     c.loss_type = "siglip"

@@ -1,5 +1,6 @@
 """End-to-end trainer smoke: tiny model + synthetic data + checkpoints."""
 
+import pytest
 import json
 import os
 
@@ -28,6 +29,7 @@ def _tiny_cfg(workdir_steps=3):
     return c
 
 
+@pytest.mark.slow
 def test_train_end_to_end_and_resume(tmp_path):
     workdir = str(tmp_path / "run")
     c = _tiny_cfg()

@@ -1,5 +1,6 @@
 """Evaluators running inside the train loop + eval_only mode."""
 
+import pytest
 import json
 import os
 
@@ -34,6 +35,7 @@ def _cfg():
     return c
 
 
+@pytest.mark.slow
 def test_train_loop_runs_evaluators(tmp_path):
     workdir = str(tmp_path / "run")
     trainer.train(_cfg(), workdir)
