@@ -163,3 +163,118 @@ def quantized_encode(
     pq, ps = _quant_a(pooled)
     z = _qdense(pq, ps, head["q"], head["s"], head.get("b"))
     return z / (jnp.linalg.norm(z, axis=-1, keepdims=True) + 1e-8)
+
+
+# ---------------------------------------------------------------------------
+# Fused int8 encode: quantize/dequant INSIDE the transposed-stream kernels
+# (ops/fused_encoder_int8.py). The XLA-composed path above loses its int8
+# matmul gains to per-token quantize passes and f32 dequants through HBM;
+# here each sub-block quantizes once in VMEM.
+# ---------------------------------------------------------------------------
+
+
+def quantized_encode_fused(
+    qparams: dict,
+    image: jax.Array,
+    *,
+    patch_size: int,
+    num_heads: int,
+    depth: int,
+    posemb: str = "sincos2d",
+    interpret: bool | None = None,
+) -> jax.Array:
+    """W8A8 ViT encode on the fused transposed-stream int8 kernels.
+
+    Same qparams tree as `quantize_vit_params`. Serving mode (tanh GELU,
+    nomax softmax, ≥0.995 output cosine); single-chip or batch-sharded.
+    """
+    from openvision_tpu.ops.fused_encoder import (
+        from_transposed_stream,
+        to_transposed_stream,
+    )
+    from openvision_tpu.ops.fused_encoder_int8 import mhsa_t_int8, mlp_t_int8
+
+    if interpret is None:
+        interpret = jax.devices()[0].platform not in ("tpu", "axon")
+
+    fp = qparams["_fp"]
+    kernel = jnp.asarray(fp["embedding"]["kernel"], jnp.bfloat16)
+    x = jax.lax.conv_general_dilated(
+        image.astype(jnp.bfloat16), kernel,
+        window_strides=(patch_size, patch_size), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if "bias" in fp.get("embedding", {}):
+        x = x + fp["embedding"]["bias"]
+    b, h, w, d = x.shape
+    x = x.reshape(b, h * w, d)
+    cls_tok = jnp.broadcast_to(jnp.asarray(fp["cls"], x.dtype), (b, 1, d))
+    x = jnp.concatenate([cls_tok, x], axis=1)
+    if posemb == "sincos2d":
+        pe = posemb_sincos_2d(h, w, d, cls_token=True)
+    else:
+        pe = jnp.asarray(fp["pos_embedding"])
+    x = (x + pe).astype(jnp.bfloat16)
+
+    xT, cls, valid = to_transposed_stream(x)
+    zcol = jnp.zeros((d,), jnp.float32)
+
+    for i in range(depth):
+        blk = qparams["Transformer"][f"encoderblock_{i}"]
+        wqkv_q = jnp.concatenate(
+            [blk[p]["q"] for p in ("query", "key", "value")], axis=1)
+        wqkv_s = jnp.concatenate(
+            [blk[p]["s"] for p in ("query", "key", "value")], axis=0)
+        bqkv = jnp.concatenate([
+            jnp.asarray(blk[p]["b"], jnp.float32) if blk[p]["b"] is not None
+            else zcol for p in ("query", "key", "value")
+        ], axis=0)
+        wo_q, wo_s = blk["out"]["q"], blk["out"]["s"]
+        bo = (jnp.asarray(blk["out"]["b"], jnp.float32)
+              if blk["out"]["b"] is not None else zcol)
+        ln0s = jnp.asarray(blk["ln0"]["scale"], jnp.float32)
+        ln0b = jnp.asarray(blk["ln0"]["bias"], jnp.float32)
+        ln1s = jnp.asarray(blk["ln1"]["scale"], jnp.float32)
+        ln1b = jnp.asarray(blk["ln1"]["bias"], jnp.float32)
+
+        vecA = jnp.stack(
+            [ln0s, ln0b, z := jnp.zeros_like(ln0s), z, z, bo, z, z], axis=1)
+
+        # cls side path (1 token): same W8A8 math via the naive helpers
+        ycls = _ln(cls, blk["ln0"])
+        cq, cs = _quant_a(ycls)
+        clsqkv = _qdense(cq, cs, wqkv_q, wqkv_s, bqkv).astype(jnp.bfloat16)
+
+        xT, ocls = mhsa_t_int8(
+            xT, clsqkv, wqkv_q, wqkv_s, wo_q, wo_s, vecA, bqkv[:, None],
+            num_heads=num_heads, valid=valid, interpret=interpret)
+        oq, os_ = _quant_a(ocls.astype(jnp.float32))
+        cls = cls + _qdense(oq, os_, wo_q, wo_s, bo).astype(cls.dtype)
+
+        # cls MLP
+        ycls = _ln(cls, blk["ln1"])
+        cq, cs = _quant_a(ycls)
+        m0, m1 = blk["mlp0"], blk["mlp1"]
+        hcls = jax.nn.gelu(
+            _qdense(cq, cs, m0["q"], m0["s"], m0["b"]), approximate=True)
+        hq, hs = _quant_a(hcls)
+        cls = cls + _qdense(hq, hs, m1["q"], m1["s"], m1["b"]).astype(cls.dtype)
+
+        b1 = (jnp.asarray(m0["b"], jnp.float32)
+              if m0["b"] is not None else jnp.zeros((m0["q"].shape[1],), jnp.float32))
+        b2 = (jnp.asarray(m1["b"], jnp.float32)
+              if m1["b"] is not None else zcol)
+        vecM = jnp.stack(
+            [ln1s, ln1b, b2, jnp.zeros_like(ln1s)]
+            + [jnp.zeros_like(ln1s)] * 4, axis=1)
+        xT = mlp_t_int8(
+            xT, m0["q"], m0["s"], m1["q"], m1["s"], vecM, b1[:, None],
+            interpret=interpret)
+
+    x = from_transposed_stream(xT, cls, valid)
+    pooled = jnp.mean(x[:, 1:], axis=1)
+    pooled = _ln(pooled, fp["encoder_norm"])
+    head = qparams["head"]
+    pq, ps = _quant_a(pooled)
+    z = _qdense(pq, ps, head["q"], head["s"], head.get("b"))
+    return z / (jnp.linalg.norm(z, axis=-1, keepdims=True) + 1e-8)
