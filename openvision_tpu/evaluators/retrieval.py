@@ -59,8 +59,9 @@ class Evaluator:
         self.mesh = mesh
         self.dataset = dataset
         self.batch_size = batch_size
+        self.num_workers = unused.get("num_workers", 0)
         import_pp_modules()
-        self.pp_img = build_pp_fn(pp_img) if pp_img else None
+        self.pp_img_string = pp_img
         self.pp_txt = build_pp_fn(pp_txt) if pp_txt else None
 
         if source is not None:
@@ -102,18 +103,40 @@ class Evaluator:
             outs.append(z[: bs - pad])
         return np.concatenate(outs)
 
+    def _embed_images_pipelined(self, params) -> np.ndarray:
+        """Embeds all images with pp running in the grain eval pipeline
+        (worker processes via num_workers) — no per-example host loop."""
+        src = self.source
+
+        class _ImgOnly:  # ragged caption lists can't ride the batch stacker
+            def __len__(self):
+                return len(src)
+
+            def __getitem__(self, i):
+                return {"image": src[i]["image"]}
+
+        it = pipe.make_for_inference(
+            _ImgOnly(), self.pp_img_string, self.batch_size,
+            num_workers=self.num_workers,
+        )()
+        outs = []
+        for batch in it:
+            dev = local_batch_to_global(
+                np.asarray(batch["image"], np.float32), self.mesh
+            )
+            z = jax.device_get(self._embed_img(params, dev))
+            keep = np.asarray(batch["_mask"]) > 0
+            outs.append(z[: len(keep)][keep])
+        return np.concatenate(outs)
+
     def run(self, train_state):
         params = train_state["params"]
         rng = np.random.default_rng(0)
 
-        images, texts, txt2img = [], [], []
+        # caption unrolling (ragged; light host work — tokenization only)
+        texts, txt2img = [], []
         for i in range(len(self.source)):
-            ex = self.source[i]
-            img = ex["image"]
-            if self.pp_img is not None:
-                img = self.pp_img({"image": img}, rng)["image"]
-            images.append(np.asarray(img, np.float32))
-            caps = ex["captions"]
+            caps = self.source[i]["captions"]
             if isinstance(caps, (bytes, str)):
                 caps = str(caps).split("\n")
             for cap in np.asarray(caps).reshape(-1):
@@ -122,7 +145,7 @@ class Evaluator:
                 texts.append(data["labels"])
                 txt2img.append(i)
 
-        zimg = self._batched_embed(self._embed_img, params, np.stack(images))
+        zimg = self._embed_images_pipelined(params)
         ztxt = self._batched_embed(self._embed_txt, params, np.stack(texts))
         zimg = zimg / (np.linalg.norm(zimg, axis=-1, keepdims=True) + 1e-8)
         ztxt = ztxt / (np.linalg.norm(ztxt, axis=-1, keepdims=True) + 1e-8)
