@@ -1,0 +1,114 @@
+"""Batch image-encode serving CLI.
+
+Production entry point for the encode path (the framework's headline
+workload): loads a converted OpenVision checkpoint directory (the same
+`open_clip_config.json` + `open_clip_pytorch_model.bin` artifacts the local
+tools use), encodes a folder of images at a chosen batch size on the fused
+transposed-stream kernels, and writes L2-normalized embeddings + filenames
+to an npz. `--int8` switches to the fused W8A8 kernels (serving accuracy:
+≥0.995 output cosine vs bf16 — see serving/quant.py).
+
+Usage:
+  python -m openvision_tpu.serving.encode --use_model <dir> \
+      --img_folder images/ [--batch 256] [--int8] [--out embeddings.npz]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+IMG_EXTS = (".png", ".jpg", ".jpeg", ".webp", ".bmp")
+
+
+def build_encode_fn(model, *, int8: bool, on_tpu: bool):
+    vision = model.vision
+    if not int8:
+        params = model.params["img"]
+
+        @jax.jit
+        def encode(images):
+            z = vision.apply({"params": params}, images)
+            return z / (jnp.linalg.norm(z, axis=-1, keepdims=True) + 1e-8)
+
+        return encode
+
+    from openvision_tpu.serving.quant import (
+        quantize_vit_params,
+        quantized_encode_fused,
+    )
+
+    qp = quantize_vit_params(model.params["img"])
+    patch = vision.patch_size[0]
+    posemb = vision.posemb
+
+    @jax.jit
+    def encode(images):
+        return quantized_encode_fused(
+            qp, images, patch_size=patch, num_heads=vision.num_heads,
+            depth=vision.depth, posemb=posemb, interpret=not on_tpu)
+
+    return encode
+
+
+def main(argv=None):
+    from openvision_tpu.tools.model_io import load_model
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--use_model", required=True)
+    parser.add_argument("--img_folder", required=True)
+    parser.add_argument("--batch", type=int, default=256)
+    parser.add_argument("--int8", action="store_true",
+                        help="fused W8A8 kernels (serving accuracy mode)")
+    parser.add_argument("--out", default="embeddings.npz")
+    parser.add_argument("--dtype", default="bfloat16")
+    args = parser.parse_args(argv)
+
+    on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+    model = load_model(args.use_model, dtype=jnp.dtype(args.dtype))
+    encode = build_encode_fn(model, int8=args.int8, on_tpu=on_tpu)
+
+    from PIL import Image
+
+    files = sorted(
+        f for f in os.listdir(args.img_folder)
+        if f.lower().endswith(IMG_EXTS)
+    )
+    if not files:
+        raise SystemExit(f"no images in {args.img_folder}")
+
+    embeds, times = [], []
+    for i in range(0, len(files), args.batch):
+        chunk = files[i : i + args.batch]
+        imgs = np.stack([
+            model.preprocess(
+                np.asarray(Image.open(os.path.join(args.img_folder, f)).convert("RGB"))
+            )
+            for f in chunk
+        ]).astype(args.dtype)
+        pad = args.batch - len(chunk)
+        if pad:
+            imgs = np.pad(imgs, ((0, pad), (0, 0), (0, 0), (0, 0)))
+        t0 = time.perf_counter()
+        z = np.asarray(jax.device_get(encode(jnp.asarray(imgs))))
+        times.append(time.perf_counter() - t0)
+        embeds.append(z[: len(chunk)])
+
+    z = np.concatenate(embeds).astype(np.float32)
+    np.savez(args.out, embeddings=z, files=np.asarray(files))
+    # first batch includes compile; report steady-state when possible
+    steady = times[1:] or times
+    print(f"encoded {len(files)} images -> {args.out} "
+          f"(dim {z.shape[1]}, {'int8' if args.int8 else args.dtype})")
+    print(f"throughput: {args.batch * len(steady) / sum(steady):.1f} img/s "
+          f"({'steady-state' if times[1:] else 'incl. compile'})")
+
+
+if __name__ == "__main__":
+    main()

@@ -67,3 +67,73 @@ def test_fused_int8_encode_matches_naive_quant():
     ref = ref / jnp.linalg.norm(ref, axis=-1, keepdims=True)
     cos_ref = jnp.sum(fused * ref, -1)
     assert float(jnp.min(cos_ref)) > 0.995, float(jnp.min(cos_ref))
+
+
+def test_serving_encode_cli(tmp_path):
+    """End-to-end serving CLI on a tiny converted model dir (bf16 + int8)."""
+    import json
+    import os
+
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    from PIL import Image
+
+    from openvision_tpu.convert.openclip import jax_to_openclip
+    from openvision_tpu.models import text as text_mod
+    from openvision_tpu.serving import encode as encode_cli
+
+    W, L, H, E, RES, P, CTX, V = 64, 2, 2, 32, 32, 16, 16, 30522
+    vision = vit_mod.ViT(
+        num_classes=E, patch_size=(P, P), width=W, depth=L, mlp_dim=W * 4,
+        num_heads=H, posemb="learn", pool_type="gap", emb_head_bias=False)
+    text = text_mod.TextTransformer(
+        num_classes=E, width=W, depth=L, mlp_dim=W * 4, num_heads=H,
+        vocab_size=V, posemb="learn", pool_type="last")
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    params = {
+        "img": unbox(vision.init(k1, jnp.zeros((1, RES, RES, 3)))["params"]),
+        "txt": unbox(text.init(k2, jnp.zeros((1, CTX), jnp.int32))["params"]),
+        "t": np.log(1 / 0.07) * np.ones((1,), np.float32),
+    }
+    d = tmp_path / "model"
+    d.mkdir()
+    sd = {k: torch.tensor(np.asarray(v)) for k, v in jax_to_openclip(params).items()}
+    torch.save(sd, os.path.join(d, "open_clip_pytorch_model.bin"))
+    cfg = {
+        "model_cfg": {
+            "embed_dim": E,
+            "vision_cfg": {"layers": L, "width": W, "head_width": W // H,
+                           "patch_size": P, "image_size": RES,
+                           "pool_type": "avg", "final_ln_after_pool": True,
+                           "no_ln_pre": True},
+            "text_cfg": {"layers": L, "width": W, "heads": H, "vocab_size": V,
+                         "context_length": CTX, "pool_type": "last",
+                         "no_causal_mask": True},
+        },
+    }
+    (d / "open_clip_config.json").write_text(json.dumps(cfg))
+
+    imgs = tmp_path / "imgs"
+    imgs.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(5):
+        Image.fromarray(rng.randint(0, 255, (48, 48, 3), np.uint8)).save(
+            imgs / f"im{i}.png")
+
+    out = tmp_path / "emb.npz"
+    encode_cli.main(["--use_model", str(d), "--img_folder", str(imgs),
+                     "--batch", "4", "--out", str(out), "--dtype", "float32"])
+    z = np.load(out)
+    assert z["embeddings"].shape == (5, E)
+    np.testing.assert_allclose(
+        np.linalg.norm(z["embeddings"], axis=-1), 1.0, rtol=1e-4)
+    assert list(z["files"]) == [f"im{i}.png" for i in range(5)]
+
+    out8 = tmp_path / "emb8.npz"
+    encode_cli.main(["--use_model", str(d), "--img_folder", str(imgs),
+                     "--batch", "4", "--int8", "--out", str(out8),
+                     "--dtype", "float32"])
+    z8 = np.load(out8)["embeddings"]
+    cos = np.sum(z8 * z["embeddings"], -1)
+    assert cos.min() > 0.99, cos.min()
