@@ -163,7 +163,9 @@ class Evaluator:
             self.source, self.pp_img_string, self.batch_size,
             num_workers=self.num_workers,
         )()
-        ncorrect = ntotal = 0.0
+        # accumulate ON DEVICE: no per-batch host sync (the reference's
+        # async_delay early-stop pattern, discriminative_classifier.py:355)
+        counts = []
         for batch in it:
             label_key = (
                 self.multi_label_key
@@ -176,9 +178,9 @@ class Evaluator:
                  "mask": np.asarray(batch["_mask"], np.float32)},
                 self.mesh,
             )
-            c, t = self._count(
+            counts.append(self._count(
                 params, dev["image"], dev["label"], dev["mask"], class_embs
-            )
-            ncorrect += float(jax.device_get(c))
-            ntotal += float(jax.device_get(t))
+            ))
+        ncorrect = sum(float(jax.device_get(c)) for c, _ in counts)
+        ntotal = sum(float(jax.device_get(t)) for _, t in counts)
         return [(f"{self.dataset_name}_accuracy", ncorrect / max(ntotal, 1.0))]

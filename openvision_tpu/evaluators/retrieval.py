@@ -119,14 +119,19 @@ class Evaluator:
             _ImgOnly(), self.pp_img_string, self.batch_size,
             num_workers=self.num_workers,
         )()
-        outs = []
+        outs, pending = [], None
         for batch in it:
             dev = local_batch_to_global(
                 np.asarray(batch["image"], np.float32), self.mesh
             )
-            z = jax.device_get(self._embed_img(params, dev))
-            keep = np.asarray(batch["_mask"]) > 0
-            outs.append(z[: len(keep)][keep])
+            z = self._embed_img(params, dev)  # async dispatch
+            if pending is not None:
+                zp, keep = pending
+                outs.append(np.asarray(jax.device_get(zp))[: len(keep)][keep])
+            pending = (z, np.asarray(batch["_mask"]) > 0)
+        if pending is not None:
+            zp, keep = pending
+            outs.append(np.asarray(jax.device_get(zp))[: len(keep)][keep])
         return np.concatenate(outs)
 
     def run(self, train_state):
