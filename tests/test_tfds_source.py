@@ -195,3 +195,38 @@ def test_disclf_multi_label_counting():
     )
     acc_h = dict(ev_h.run({"params": params}))["imagenet2012_accuracy"]
     assert 0.0 <= acc_h <= 1.0
+
+
+def test_prepare_tree_roundtrip(tmp_path):
+    """data/prepare.py converts a raw class tree into shards that
+    TfdsDirectorySource serves with correct labels and class names."""
+    from PIL import Image
+
+    from openvision_tpu.data import prepare
+
+    rng = np.random.default_rng(0)
+    src = tmp_path / "val"
+    for cname in ("n01440764", "n01443537", "n01484850"):
+        (src / cname).mkdir(parents=True)
+        for i in range(3):
+            arr = rng.integers(0, 255, (20, 20, 3), np.uint8)
+            Image.fromarray(arr).save(src / cname / f"img{i}.JPEG")
+
+    out = tmp_path / "tfrec"
+    n = prepare.prepare(str(src), str(out), split="validation", shards=2)
+    assert n == 9
+
+    srcds = pipe.TfdsDirectorySource(str(out), "validation")
+    assert len(srcds) == 9
+    assert srcds.label_names == ["n01440764", "n01443537", "n01484850"]
+    labels = sorted(srcds[i]["label"] for i in range(9))
+    assert labels == [0, 0, 0, 1, 1, 1, 2, 2, 2]
+    assert srcds[0]["image"][:2] == b"\xff\xd8"  # JPEG magic
+
+    # and through the eval pipeline with decode
+    it = pipe.make_for_inference(
+        srcds, 'decode|resize(16)|vgg_value_range(inkey="image")', 4
+    )()
+    batches = list(it)
+    assert batches[0]["image"].shape == (4, 16, 16, 3)
+    assert sum(b["_mask"].sum() for b in batches) == 9
