@@ -9,7 +9,6 @@ cosine with IN-1K-equivalent warmup epochs, coca loss 1·CLIP + 2·caption).
 
 from __future__ import annotations
 
-import ml_collections
 from ml_collections import ConfigDict
 
 from openvision_tpu.configs.common import parse_arg

@@ -10,7 +10,6 @@ first moment, global-norm clipping, and step-count extraction from the chain.
 from __future__ import annotations
 
 import operator
-import re
 from typing import Callable, Optional, Sequence
 
 import jax

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import optax
 from flax import linen as nn
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh
 
 from openvision_tpu import losses, optim
 from openvision_tpu.models import clip as clip_mod
