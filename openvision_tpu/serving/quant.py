@@ -85,6 +85,13 @@ def quantize_vit_params(params: dict) -> dict:
     return out
 
 
+def _ln_raw(x, scale, bias, eps=1e-6):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, -1, keepdims=True)
+    var = jnp.var(xf, -1, keepdims=True)
+    return (xf - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
 def _ln(x, p, eps=1e-6):
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, -1, keepdims=True)
@@ -219,7 +226,11 @@ def quantized_encode_fused(
     xT, cls, valid = to_transposed_stream(x)
     zcol = jnp.zeros((d,), jnp.float32)
 
-    for i in range(depth):
+    # Stack per-block tensors and lax.scan over depth: one compiled block
+    # body instead of `depth` unrolled copies (compile time and program size
+    # stay constant in depth — 24 unrolled int8 blocks exceeded practical
+    # program-size limits).
+    def blk_tensors(i):
         blk = qparams["Transformer"][f"encoderblock_{i}"]
         wqkv_q = jnp.concatenate(
             [blk[p]["q"] for p in ("query", "key", "value")], axis=1)
@@ -229,47 +240,58 @@ def quantized_encode_fused(
             jnp.asarray(blk[p]["b"], jnp.float32) if blk[p]["b"] is not None
             else zcol for p in ("query", "key", "value")
         ], axis=0)
-        wo_q, wo_s = blk["out"]["q"], blk["out"]["s"]
         bo = (jnp.asarray(blk["out"]["b"], jnp.float32)
               if blk["out"]["b"] is not None else zcol)
         ln0s = jnp.asarray(blk["ln0"]["scale"], jnp.float32)
         ln0b = jnp.asarray(blk["ln0"]["bias"], jnp.float32)
         ln1s = jnp.asarray(blk["ln1"]["scale"], jnp.float32)
         ln1b = jnp.asarray(blk["ln1"]["bias"], jnp.float32)
+        m0, m1 = blk["mlp0"], blk["mlp1"]
+        b1 = (jnp.asarray(m0["b"], jnp.float32) if m0["b"] is not None
+              else jnp.zeros((m0["q"].shape[1],), jnp.float32))
+        b2 = (jnp.asarray(m1["b"], jnp.float32) if m1["b"] is not None
+              else zcol)
+        z = jnp.zeros_like(ln0s)
+        vecA = jnp.stack([ln0s, ln0b, z, z, z, bo, z, z], axis=1)
+        vecM = jnp.stack([ln1s, ln1b, b2, z, z, z, z, z], axis=1)
+        return dict(
+            wqkv_q=wqkv_q, wqkv_s=wqkv_s, bqkv=bqkv,
+            wo_q=blk["out"]["q"], wo_s=blk["out"]["s"], bo=bo,
+            ln0s=ln0s, ln0b=ln0b, ln1s=ln1s, ln1b=ln1b,
+            m0q=m0["q"], m0s=m0["s"], m1q=m1["q"], m1s=m1["s"],
+            b1=b1, vecA=vecA, vecM=vecM,
+        )
 
-        vecA = jnp.stack(
-            [ln0s, ln0b, z := jnp.zeros_like(ln0s), z, z, bo, z, z], axis=1)
+    stacked = jax.tree.map(
+        lambda *xs: jnp.stack(xs), *[blk_tensors(i) for i in range(depth)]
+    )
 
-        # cls side path (1 token): same W8A8 math via the naive helpers
-        ycls = _ln(cls, blk["ln0"])
+    def block(carry, t):
+        xT, cls = carry
+        ycls = _ln_raw(cls, t["ln0s"], t["ln0b"])
         cq, cs = _quant_a(ycls)
-        clsqkv = _qdense(cq, cs, wqkv_q, wqkv_s, bqkv).astype(jnp.bfloat16)
-
+        clsqkv = _qdense(cq, cs, t["wqkv_q"], t["wqkv_s"], t["bqkv"]).astype(
+            jnp.bfloat16)
         xT, ocls = mhsa_t_int8(
-            xT, clsqkv, wqkv_q, wqkv_s, wo_q, wo_s, vecA, bqkv[:, None],
+            xT, clsqkv, t["wqkv_q"], t["wqkv_s"], t["wo_q"], t["wo_s"],
+            t["vecA"], t["bqkv"][:, None],
             num_heads=num_heads, valid=valid, interpret=interpret)
         oq, os_ = _quant_a(ocls.astype(jnp.float32))
-        cls = cls + _qdense(oq, os_, wo_q, wo_s, bo).astype(cls.dtype)
-
-        # cls MLP
-        ycls = _ln(cls, blk["ln1"])
+        cls = cls + _qdense(oq, os_, t["wo_q"], t["wo_s"], t["bo"]).astype(
+            cls.dtype)
+        ycls = _ln_raw(cls, t["ln1s"], t["ln1b"])
         cq, cs = _quant_a(ycls)
-        m0, m1 = blk["mlp0"], blk["mlp1"]
         hcls = jax.nn.gelu(
-            _qdense(cq, cs, m0["q"], m0["s"], m0["b"]), approximate=True)
+            _qdense(cq, cs, t["m0q"], t["m0s"], t["b1"]), approximate=True)
         hq, hs = _quant_a(hcls)
-        cls = cls + _qdense(hq, hs, m1["q"], m1["s"], m1["b"]).astype(cls.dtype)
-
-        b1 = (jnp.asarray(m0["b"], jnp.float32)
-              if m0["b"] is not None else jnp.zeros((m0["q"].shape[1],), jnp.float32))
-        b2 = (jnp.asarray(m1["b"], jnp.float32)
-              if m1["b"] is not None else zcol)
-        vecM = jnp.stack(
-            [ln1s, ln1b, b2, jnp.zeros_like(ln1s)]
-            + [jnp.zeros_like(ln1s)] * 4, axis=1)
+        cls = cls + _qdense(hq, hs, t["m1q"], t["m1s"], None).astype(cls.dtype)
+        cls = (cls + t["vecM"][:, 2]).astype(xT.dtype)  # b2
         xT = mlp_t_int8(
-            xT, m0["q"], m0["s"], m1["q"], m1["s"], vecM, b1[:, None],
-            interpret=interpret)
+            xT, t["m0q"], t["m0s"], t["m1q"], t["m1s"], t["vecM"],
+            t["b1"][:, None], interpret=interpret)
+        return (xT, cls), None
+
+    (xT, cls), _ = jax.lax.scan(block, (xT, cls), stacked)
 
     x = from_transposed_stream(xT, cls, valid)
     pooled = jnp.mean(x[:, 1:], axis=1)
