@@ -345,26 +345,36 @@ class WebdatasetTarSource(grain.RandomAccessDataSource):
     """
 
     def __init__(self, paths: Sequence[str], text_keys=("txt", "json")):
-        import tarfile
-
         self._shards: list[str] = list(paths)
         self._text_keys = text_keys
         self._index: list[tuple[int, dict[str, tuple[int, int]]]] = []
         for si, path in enumerate(self._shards):
             groups: dict[str, dict[str, tuple[int, int]]] = {}
-            with tarfile.open(path) as tf:
-                for m in tf:
-                    if not m.isfile():
-                        continue
-                    base = os.path.basename(m.name)
-                    key, _, ext = base.rpartition(".")
-                    groups.setdefault(key, {})[ext.lower()] = (
-                        m.offset_data,
-                        m.size,
-                    )
+            for name, offset, size in self._scan(path):
+                base = os.path.basename(name)
+                key, _, ext = base.rpartition(".")
+                groups.setdefault(key, {})[ext.lower()] = (offset, size)
             for key in sorted(groups):
                 self._index.append((si, groups[key]))
         self._handles: dict[int, Any] = {}
+
+    @staticmethod
+    def _scan(path):
+        """Member (name, offset, size) triples — native C++ indexer when
+        built (openvision_tpu/native/indexer.cpp), else Python tarfile."""
+        from openvision_tpu.native.indexer import tar_index
+
+        entries = tar_index(path)
+        if entries is not None:
+            return entries
+        import tarfile
+
+        out = []
+        with tarfile.open(path) as tf:
+            for m in tf:
+                if m.isfile():
+                    out.append((m.name, m.offset_data, m.size))
+        return out
 
     def __len__(self):
         return len(self._index)
@@ -429,9 +439,16 @@ class TfdsDirectorySource(grain.RandomAccessDataSource):
             raise FileNotFoundError(
                 f"no TFRecord shards for split {split!r} in {data_dir}"
             )
-        # (shard_idx, offset, payload_size) per record
+        # (shard_idx, offset, payload_size) per record; native C++ scan
+        # when built, else the Python walk
+        from openvision_tpu.native.indexer import tfrecord_index
+
         self._index: list[tuple[int, int, int]] = []
         for si, path in enumerate(self._shards):
+            native = tfrecord_index(path)
+            if native is not None:
+                self._index.extend((si, off, sz) for off, sz in native)
+                continue
             with open(path, "rb") as f:
                 while True:
                     head = f.read(8)

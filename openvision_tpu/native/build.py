@@ -20,7 +20,10 @@ def build(verbose: bool = True) -> bool:
             ["make", "-s"], cwd=HERE, check=True,
             capture_output=not verbose,
         )
-        return os.path.exists(os.path.join(HERE, "libwordpiece.so"))
+        return all(
+            os.path.exists(os.path.join(HERE, lib))
+            for lib in ("libwordpiece.so", "libindexer.so")
+        )
     except (subprocess.CalledProcessError, FileNotFoundError) as e:
         if verbose:
             print(f"native build failed: {e}", file=sys.stderr)

@@ -104,3 +104,99 @@ def test_bert_ops_identical_through_native(native_tok):
         tok_mod.get_tokenizer.cache_clear()
     for k in out:
         np.testing.assert_array_equal(np.asarray(out[k]), np.asarray(out_py[k]))
+
+
+def test_native_tar_index_matches_tarfile(tmp_path):
+    import tarfile
+
+    from openvision_tpu.native import build as nb
+    from openvision_tpu.native.indexer import tar_index
+
+    if not os.path.exists(os.path.join(nb.HERE, "libindexer.so")):
+        if not nb.build(verbose=False):
+            pytest.skip("native toolchain unavailable")
+
+    p = tmp_path / "shard.tar"
+    rng = random.Random(0)
+    with tarfile.open(p, "w") as tf:
+        for i in range(20):
+            name = f"sample{i:04d}.jpg" if i % 3 else (
+                "a/really/deep/" + "x" * 120 + f"/long_name_{i}.txt")
+            data = bytes(rng.randrange(256) for _ in range(rng.randrange(1, 900)))
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            import io as _io
+
+            tf.addfile(info, _io.BytesIO(data))
+
+    native = tar_index(str(p))
+    assert native is not None
+    with tarfile.open(p) as tf:
+        ref = [(m.name, m.offset_data, m.size) for m in tf if m.isfile()]
+    assert native == ref
+
+    # and the bytes at the recorded offsets are the members
+    with open(p, "rb") as f, tarfile.open(p) as tf:
+        for name, off, size in native[:5]:
+            f.seek(off)
+            assert f.read(size) == tf.extractfile(name).read()
+
+
+def test_native_tfrecord_index_matches_python(tmp_path):
+    import struct
+
+    from openvision_tpu.native import build as nb
+    from openvision_tpu.native.indexer import tfrecord_index
+
+    if not os.path.exists(os.path.join(nb.HERE, "libindexer.so")):
+        if not nb.build(verbose=False):
+            pytest.skip("native toolchain unavailable")
+
+    p = tmp_path / "data.tfrecord-00000-of-00001"
+    payloads = [bytes([i]) * (i * 7 + 1) for i in range(12)]
+    with open(p, "wb") as f:
+        for pay in payloads:
+            f.write(struct.pack("<Q", len(pay)))
+            f.write(b"\x00" * 4)
+            f.write(pay)
+            f.write(b"\x00" * 4)
+
+    idx = tfrecord_index(str(p))
+    assert idx is not None and len(idx) == 12
+    with open(p, "rb") as f:
+        for (off, size), pay in zip(idx, payloads):
+            f.seek(off)
+            assert f.read(size) == pay
+
+
+def test_sources_use_native_indexer(tmp_path):
+    """WebdatasetTarSource and TfdsDirectorySource still serve identical
+    records with the native indexer active vs disabled."""
+    import io as _io
+    import tarfile
+
+    from openvision_tpu.data import pipeline as pipe
+
+    p = tmp_path / "w.tar"
+    with tarfile.open(p, "w") as tf:
+        for i in range(4):
+            for ext, data in (("jpg", b"\xff\xd8IMG%d" % i),
+                              ("txt", f"caption {i}".encode())):
+                info = tarfile.TarInfo(f"k{i}.{ext}")
+                info.size = len(data)
+                tf.addfile(info, _io.BytesIO(data))
+
+    src_native = pipe.WebdatasetTarSource([str(p)])
+    os.environ["OPENVISION_NO_NATIVE"] = "1"
+    try:
+        import openvision_tpu.native.indexer as idx
+
+        idx._TRIED, idx._LIB = False, None
+        src_py = pipe.WebdatasetTarSource([str(p)])
+    finally:
+        del os.environ["OPENVISION_NO_NATIVE"]
+        idx._TRIED, idx._LIB = False, None
+    assert len(src_native) == len(src_py) == 4
+    for i in range(4):
+        a, b = src_native[i], src_py[i]
+        assert a["jpg"] == b["jpg"] and a["txt"] == b["txt"]
