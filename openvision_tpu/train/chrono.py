@@ -70,8 +70,11 @@ class Chrono:
             metrics["core_hours"] = core_hours
 
             if self.total_steps and "img/sec" in metrics:
-                remaining = (self.total_steps - step) * dstep / dstep
-                eta = (self.total_steps - step) * (dt / dstep)
+                # smoothed over the whole (pause-corrected) run, not the
+                # last tick — per-tick dt is too noisy for an ETA
+                start = self.train_start_step or self.prev_step or 0
+                done = max(step - start, dstep)
+                eta = (self.total_steps - step) * (self.accum_train_time / done)
                 metrics["eta_hours"] = eta / 3600
 
         metrics["examples_seen"] = (self.global_bs or 0) * step
