@@ -423,7 +423,19 @@ class TfdsDirectorySource(grain.RandomAccessDataSource):
 
     def __init__(self, data_dir: str, split: str = "train"):
         import glob as _glob
+        import re
         import struct
+
+        # tfds sub-split syntax "validation[:4]" / "train[10:20]" (the
+        # runlocal configs emit these, reference openvision.py:312)
+        sub = None
+        m = re.fullmatch(r"(.+?)\[(-?\d*):(-?\d*)\]", split)
+        if m:
+            split = m.group(1)
+            sub = slice(
+                int(m.group(2)) if m.group(2) else None,
+                int(m.group(3)) if m.group(3) else None,
+            )
 
         pats = [
             os.path.join(data_dir, f"*-{split}.tfrecord-*"),
@@ -458,6 +470,8 @@ class TfdsDirectorySource(grain.RandomAccessDataSource):
                     f.seek(4, 1)  # length crc
                     self._index.append((si, f.tell(), length))
                     f.seek(length + 4, 1)  # payload + payload crc
+        if sub is not None:
+            self._index = self._index[sub]
         self._handles: dict[int, Any] = {}
         self._label_names = _tfds_label_names(data_dir)
 

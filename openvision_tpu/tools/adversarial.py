@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from openvision_tpu.tools.model_io import load_model, tokenize_labels
+from openvision_tpu.tools.model_io import load_model
 
 
 def _zero_shot_loss(model_apply, params, image01, mean, std, ztxt, scale,
@@ -126,7 +126,7 @@ def main(argv=None):
 
     model = load_model(args.use_model)
     labels = [s.strip() for s in args.labels.split(",")]
-    tokens = tokenize_labels(labels, model.vocab_path, model.context_length)
+    tokens = model.tokenize(labels)
     ztxt = model.encode_text(jnp.asarray(tokens))
 
     image01 = jnp.asarray(_load_image01(model, args.image))

@@ -47,6 +47,36 @@ class LoadedModel:
     def logit_scale(self) -> float:
         return float(np.exp(np.asarray(self.params["t"]).reshape(-1)[0]))
 
+    model_dir: str = ""
+
+    def tokenize(self, texts) -> np.ndarray:
+        """Tokenizes label strings with the checkpoint's OWN tokenizer.
+
+        Preference order (ROUND2_PLAN #7 — converted repos may ship a
+        tokenizer that differs from the native bos/eos/CLS-at-end
+        convention): an HF tokenizer in the model dir (`tokenizer.json` /
+        `tokenizer_config.json`, loaded via transformers) → the dir's
+        `vocab.txt` → the repo's default vocab, both through the native
+        WordPiece convention.
+        """
+        if self.model_dir and any(
+            os.path.exists(os.path.join(self.model_dir, f))
+            for f in ("tokenizer.json", "tokenizer_config.json")
+        ):
+            try:
+                from transformers import AutoTokenizer
+
+                hf = AutoTokenizer.from_pretrained(self.model_dir)
+                out = hf(
+                    list(texts), padding="max_length", truncation=True,
+                    max_length=self.context_length, return_tensors="np",
+                )
+                return out["input_ids"].astype(np.int32)
+            except Exception:
+                pass  # fall through to the native convention
+        return tokenize_labels(list(texts), self.vocab_path,
+                               self.context_length)
+
     def preprocess(self, image: np.ndarray) -> np.ndarray:
         """resize-small → center-crop → normalize, like the torch transform."""
         from openvision_tpu.data.ops_image import _resize, _to_image_array
@@ -121,9 +151,16 @@ def load_model(
     sd = {k: v.numpy() for k, v in state_dict.items()}
     params = openclip_to_jax(sd, num_heads_vision=v_heads, num_heads_text=t_heads)
 
+    # a vocab.txt in the model dir (our exports write one) overrides the
+    # repo default so the export is fully self-contained
+    local_vocab = os.path.join(model_dir, "vocab.txt")
+    if os.path.exists(local_vocab):
+        vocab_path = local_vocab
+
     # Converted checkpoints carry a learned pos-emb; drop fixed sincos remnants
     # if the config says the JAX side used sincos (then params lack it anyway).
     return LoadedModel(
+        model_dir=model_dir,
         vision=vision,
         text=text,
         params=params,

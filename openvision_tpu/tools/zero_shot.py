@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from openvision_tpu.tools.model_io import load_model, tokenize_labels
+from openvision_tpu.tools.model_io import load_model
 
 TEXTS = [
     "a photo of a cat", "a photo of a dog", "a photo of a bat",
@@ -40,7 +40,7 @@ def preprocess_square(model, image) -> np.ndarray:
 
 def run(model_dir: str, img_folder: str, texts=tuple(TEXTS)) -> list:
     model = load_model(model_dir)
-    tokens = tokenize_labels(list(texts), model.vocab_path, model.context_length)
+    tokens = model.tokenize(list(texts))
 
     encode_text = jax.jit(model.encode_text)
     encode_image = jax.jit(model.encode_image)
