@@ -230,3 +230,12 @@ def test_prepare_tree_roundtrip(tmp_path):
     batches = list(it)
     assert batches[0]["image"].shape == (4, 16, 16, 3)
     assert sum(b["_mask"].sum() for b in batches) == 9
+
+
+def test_tfds_source_subsplit_syntax(tfds_dir):
+    d, n = tfds_dir
+    assert len(pipe.TfdsDirectorySource(d, "validation[:4]")) == 4
+    assert len(pipe.TfdsDirectorySource(d, "validation[2:5]")) == 3
+    src = pipe.TfdsDirectorySource(d, "validation[1:]")
+    assert len(src) == n - 1
+    assert src[0]["label"] == 1  # offset by the slice
