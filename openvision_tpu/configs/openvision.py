@@ -34,6 +34,7 @@ def get_config(arg: str | None = None) -> ConfigDict:
         fsdp_parallelism=1,
         tensor_parallelism=1,
         seq_parallelism=1,
+        pipe_parallelism=1,
         img_head=True,
         use_sovit=False,
         mask_ratio=0.0,
@@ -59,6 +60,8 @@ def get_config(arg: str | None = None) -> ConfigDict:
         # ring-attention sequence sharding (beyond reference): seq>1 with
         # attn_impl="ring" shards token dims over the `seq` mesh axis
         seq=arg.seq_parallelism,
+        # GPipe pipeline stages (beyond reference; ops/pipeline_parallel.py)
+        pipe=arg.pipe_parallelism,
     )
 
     # ----- checkpoints / logging -----

@@ -1,12 +1,15 @@
 """Device mesh, logical-axis rules, and sharding helpers.
 
 The framework runs everything — train step, evaluators, loss collectives —
-on ONE named 3-axis mesh `(data, fsdp, tensor)`:
+on ONE named 5-axis mesh `(data, fsdp, tensor, seq, pipe)`:
 
 - `data`:   pure data parallelism (batch split, params replicated)
 - `fsdp`:   ZeRO-3-style parameter sharding along each kernel's embed dim,
             while also contributing to the batch split
 - `tensor`: megatron-style tensor parallelism for mlp/heads/vocab dims
+- `seq`:    ring-attention sequence parallelism (ops/ring_attention.py)
+- `pipe`:   GPipe-style pipeline parallelism over encoder depth
+            (ops/pipeline_parallel.py); stacked layer params shard dim 0
 
 Model code annotates params and activations with *logical* axis names
 (`embed`, `mlp`, `activation_batch`, ...); the rules table below maps those
@@ -26,7 +29,7 @@ from flax import linen as nn
 from jax.experimental import mesh_utils
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-MESH_AXES = ("data", "fsdp", "tensor", "seq")
+MESH_AXES = ("data", "fsdp", "tensor", "seq", "pipe")
 
 # Logical axis name -> mesh axes. Same mapping the reference trains with
 # (src/configs/openvision.py:74-89): batch over (data, fsdp); params' embed
@@ -59,19 +62,20 @@ def create_mesh(
     fsdp: int = 1,
     tensor: int = 1,
     seq: int = 1,
+    pipe: int = 1,
     devices: Sequence[jax.Device] | None = None,
 ) -> Mesh:
-    """Builds the named 4-axis device mesh. `data=-1` absorbs the remainder."""
+    """Builds the named 5-axis device mesh. `data=-1` absorbs the remainder."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data == -1:
-        assert n % (fsdp * tensor * seq) == 0, (n, fsdp, tensor, seq)
-        data = n // (fsdp * tensor * seq)
-    assert data * fsdp * tensor * seq == n, (
-        f"mesh {data}x{fsdp}x{tensor}x{seq} != {n} devices"
+        assert n % (fsdp * tensor * seq * pipe) == 0, (n, fsdp, tensor, seq, pipe)
+        data = n // (fsdp * tensor * seq * pipe)
+    assert data * fsdp * tensor * seq * pipe == n, (
+        f"mesh {data}x{fsdp}x{tensor}x{seq}x{pipe} != {n} devices"
     )
     device_array = mesh_utils.create_device_mesh(
-        (data, fsdp, tensor, seq), devices=devices
+        (data, fsdp, tensor, seq, pipe), devices=devices
     )
     return Mesh(device_array, MESH_AXES)
 

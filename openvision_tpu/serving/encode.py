@@ -28,33 +28,34 @@ IMG_EXTS = (".png", ".jpg", ".jpeg", ".webp", ".bmp")
 
 
 def build_encode_fn(model, *, int8: bool, on_tpu: bool):
+    # params ride as jit ARGUMENTS (a closure would embed hundreds of MB of
+    # weights as program constants — oversized executables/compile requests)
     vision = model.vision
     if not int8:
-        params = model.params["img"]
-
         @jax.jit
-        def encode(images):
+        def encode_p(params, images):
             z = vision.apply({"params": params}, images)
             return z / (jnp.linalg.norm(z, axis=-1, keepdims=True) + 1e-8)
 
-        return encode
+        params = model.params["img"]
+        return lambda images: encode_p(params, images)
 
     from openvision_tpu.serving.quant import (
         quantize_vit_params,
         quantized_encode_fused,
     )
 
-    qp = quantize_vit_params(model.params["img"])
+    qp = jax.jit(quantize_vit_params)(model.params["img"])
     patch = vision.patch_size[0]
     posemb = vision.posemb
 
     @jax.jit
-    def encode(images):
+    def encode_q(qp, images):
         return quantized_encode_fused(
             qp, images, patch_size=patch, num_heads=vision.num_heads,
             depth=vision.depth, posemb=posemb, interpret=not on_tpu)
 
-    return encode
+    return lambda images: encode_q(qp, images)
 
 
 def main(argv=None):

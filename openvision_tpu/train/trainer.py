@@ -121,6 +121,7 @@ def train(config, workdir: Optional[str] = None):
         fsdp=mesh_cfg.get("fsdp", 1),
         tensor=mesh_cfg.get("tensor", 1),
         seq=mesh_cfg.get("seq", 1),
+        pipe=mesh_cfg.get("pipe", 1),
     )
     note(f"mesh: {dict(mesh.shape)}")
 

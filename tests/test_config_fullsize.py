@@ -45,4 +45,4 @@ def test_default_config_l14_eval_shape():
 
 def test_config_parallelism_args():
     c = cfg_mod.get_config("data_parallelism=64,fsdp_parallelism=4,tensor_parallelism=2")
-    assert dict(c.sharding.mesh) == {"data": 64, "fsdp": 4, "tensor": 2, "seq": 1}
+    assert dict(c.sharding.mesh) == {"data": 64, "fsdp": 4, "tensor": 2, "seq": 1, "pipe": 1}

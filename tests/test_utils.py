@@ -82,5 +82,5 @@ def test_mesh_creation_8dev():
     from openvision_tpu.parallel import create_mesh
 
     mesh = create_mesh(data=-1, fsdp=2, tensor=2)
-    assert mesh.shape == {"data": 2, "fsdp": 2, "tensor": 2, "seq": 1}
+    assert mesh.shape == {"data": 2, "fsdp": 2, "tensor": 2, "seq": 1, "pipe": 1}
     assert len(jax.devices()) == 8
