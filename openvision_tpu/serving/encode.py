@@ -69,10 +69,18 @@ def main(argv=None):
                         help="fused W8A8 kernels (serving accuracy mode)")
     parser.add_argument("--out", default="embeddings.npz")
     parser.add_argument("--dtype", default="bfloat16")
+    parser.add_argument("--attn_impl", default=None,
+                        help="attention backend for the bf16 path; defaults "
+                             "to the fused_t flagship on TPU, xla elsewhere")
+    parser.add_argument("--exact_gelu", action="store_true",
+                        help="disable tanh-approx GELU (slower, bit-exact)")
     args = parser.parse_args(argv)
 
     on_tpu = jax.devices()[0].platform in ("tpu", "axon")
-    model = load_model(args.use_model, dtype=jnp.dtype(args.dtype))
+    attn_impl = args.attn_impl or ("fused_t" if on_tpu else "xla")
+    model = load_model(args.use_model, dtype=jnp.dtype(args.dtype),
+                       attn_impl=attn_impl,
+                       fast_gelu=not args.exact_gelu and attn_impl == "fused_t")
     encode = build_encode_fn(model, int8=args.int8, on_tpu=on_tpu)
 
     from PIL import Image

@@ -101,6 +101,8 @@ def load_model(
     *,
     vocab_path: str = "assets/bert_base_vocab_bos_eos.txt",
     dtype=jnp.float32,
+    attn_impl: str = "xla",
+    fast_gelu: bool = False,
 ) -> LoadedModel:
     """Loads `open_clip_config.json` + `open_clip_pytorch_model.bin`."""
     cfg_path = os.path.join(model_dir, "open_clip_config.json")
@@ -128,6 +130,8 @@ def load_model(
         pool_type="gap",
         emb_head_bias=False,
         output_tokens=False,
+        attn_impl=attn_impl,
+        fast_gelu=fast_gelu,
         dtype=dtype,
     )
     text = text_mod.TextTransformer(
