@@ -44,6 +44,10 @@ def get_config(arg: str | None = None) -> ConfigDict:
         vocab_path="assets/bert_base_vocab_bos_eos.txt",
         txt_decoder_name="L",
         vocab_size=32000,
+        # "fused" = Pallas fwd+bwd block kernels (the training pick,
+        # 117.9 img/s L/14@224 bs32); "fused_t" = transposed-stream flagship
+        # (inference/serving, 986 img/s encode); "ring" = seq-parallel;
+        # "xla"/"scan"/"flash" as in ops/. See docs/PERF_NOTES.md.
         attn_impl="xla",
         dtype="float32",
         param_dtype="float32",

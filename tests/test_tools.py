@@ -128,3 +128,19 @@ def test_feature_viz_parse_range():
     assert parse_range("0-3", 10) == [0, 1, 2, 3]
     assert parse_range("5,6,8", 10) == [5, 6, 8]
     assert parse_range("7", 5) == []
+
+
+def test_model_io_fused_t_matches_xla(model_dir):
+    """The serving fast path (attn_impl=fused_t + tanh gelu) stays within
+    serving tolerance of the default path on a converted checkpoint."""
+    import numpy as np
+
+    from openvision_tpu.tools.model_io import load_model
+
+    m_x = load_model(model_dir)
+    m_f = load_model(model_dir, attn_impl="fused_t", fast_gelu=True)
+    img = np.random.RandomState(0).rand(2, 32, 32, 3).astype(np.float32)
+    zx = np.asarray(m_x.encode_image(img))
+    zf = np.asarray(m_f.encode_image(img))
+    cos = (zx * zf).sum(-1)
+    assert cos.min() > 0.999, cos.min()
