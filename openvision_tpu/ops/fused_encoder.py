@@ -69,21 +69,24 @@ def _pick_hchunk(num_heads: int, lk: int, lp: int,
 def _mhsa_t_kernel(
     xT_ref, clsqkv_ref, wqkv_ref, wo_ref, vecT_ref, bqkvT_ref,
     o_ref, ocls_ref,
-    *, num_heads, head_dim, lpat, valid, hchunk, eps, sm_scale, nomax,
+    *, num_heads, head_dim, lpat, valid, hchunk, eps, sm_scale, nomax, nimg,
 ):
-    """One image per grid step, stream transposed.
+    """`nimg` images per grid step, stream transposed.
 
-    xT_ref: (1, D, LPAT) patches; clsqkv_ref: (1, 3D, 1) this image's cls
-    q/k/v column (unscaled); wqkv_ref: (D, 3D) natural; wo_ref: (D, D)
-    natural; vecT_ref (D, 8) cols: 0=ln_scale 1=ln_bias 5=bo; bqkvT_ref
-    (3D, 1) qkv bias column. Emits the patch block and the cls attention
-    output row (pre-out-proj).
+    xT_ref: (nimg, D, LPAT) patches; clsqkv_ref: (nimg, 3D, 1) cls q/k/v
+    columns (unscaled); wqkv_ref: (D, 3D) natural; wo_ref: (D, D) natural;
+    vecT_ref (D, 8) cols: 0=ln_scale 1=ln_bias 5=bo; bqkvT_ref (3D, 1) qkv
+    bias column. LN/projections/out-proj run on the images' lanes
+    CONCATENATED (nimg·LPAT columns — wider MXU dots); attention is
+    per-image. Emits the patch blocks and the cls attention output rows
+    (pre-out-proj).
     """
-    xT = xT_ref[0]  # (D, LPAT)
-    cdt = xT.dtype
+    cdt = xT_ref.dtype
     d = num_heads * head_dim
 
-    xf = xT.astype(jnp.float32)
+    x2 = (xT_ref[0] if nimg == 1 else
+          jnp.concatenate([xT_ref[i] for i in range(nimg)], axis=1))
+    xf = x2.astype(jnp.float32)
     mean = jnp.mean(xf, axis=0, keepdims=True)
     var = jnp.mean(xf * xf, axis=0, keepdims=True) - mean * mean
     y = (xf - mean) * jax.lax.rsqrt(var + eps)
@@ -93,66 +96,75 @@ def _mhsa_t_kernel(
     qkvT = jax.lax.dot_general(
         wqkv_ref[...], y, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    qkvT = (qkvT + bqkvT_ref[...]).astype(cdt)  # (3D, LPAT)
-
-    clsqkvT = clsqkv_ref[0].astype(cdt)  # (3D, 1)
+    qkvT = (qkvT + bqkvT_ref[...]).astype(cdt)  # (3D, nimg*LPAT)
 
     lk = lpat + 1  # keys: patches then cls (last column)
-    o_parts, ocls_parts = [], []
+    o_parts = [[] for _ in range(nimg)]
+    ocls_parts = [[] for _ in range(nimg)]
     for c in range(num_heads // hchunk):
         r0 = c * hchunk * head_dim
         hs = hchunk * head_dim
-        q3 = (qkvT[r0:r0 + hs] * sm_scale).astype(cdt).reshape(
-            hchunk, head_dim, lpat)
-        k3p = qkvT[d + r0:d + r0 + hs].reshape(hchunk, head_dim, lpat)
-        v3p = qkvT[2 * d + r0:2 * d + r0 + hs].reshape(hchunk, head_dim, lpat)
-        qcls = (clsqkvT[r0:r0 + hs] * sm_scale).astype(cdt).reshape(
-            hchunk, head_dim, 1)
-        kcls = clsqkvT[d + r0:d + r0 + hs].reshape(hchunk, head_dim, 1)
-        vcls = clsqkvT[2 * d + r0:2 * d + r0 + hs].reshape(hchunk, head_dim, 1)
+        for i in range(nimg):
+            cols = slice(i * lpat, (i + 1) * lpat)
+            clsqkvT = clsqkv_ref[i].astype(cdt)  # (3D, 1)
+            q3 = (qkvT[r0:r0 + hs, cols] * sm_scale).astype(cdt).reshape(
+                hchunk, head_dim, lpat)
+            k3p = qkvT[d + r0:d + r0 + hs, cols].reshape(hchunk, head_dim, lpat)
+            v3p = qkvT[2 * d + r0:2 * d + r0 + hs, cols].reshape(
+                hchunk, head_dim, lpat)
+            qcls = (clsqkvT[r0:r0 + hs] * sm_scale).astype(cdt).reshape(
+                hchunk, head_dim, 1)
+            kcls = clsqkvT[d + r0:d + r0 + hs].reshape(hchunk, head_dim, 1)
+            vcls = clsqkvT[2 * d + r0:2 * d + r0 + hs].reshape(
+                hchunk, head_dim, 1)
 
-        k_ext = jnp.concatenate([k3p, kcls], axis=2)  # (h, HD, LK)
-        v_ext = jnp.concatenate([v3p, vcls], axis=2)
+            k_ext = jnp.concatenate([k3p, kcls], axis=2)  # (h, HD, LK)
+            v_ext = jnp.concatenate([v3p, vcls], axis=2)
 
-        # patch-query scores (h, LK, LPAT): contract head_dim (sublane/sublane)
-        sT = jax.lax.dot_general(
-            k_ext, q3, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
-        # cls-query scores (h, LK, 1)
-        scls = jax.lax.dot_general(
-            k_ext, qcls, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
-        if valid < lpat:  # mask padded patch keys (keep the cls key)
-            krow = jax.lax.broadcasted_iota(jnp.int32, (1, lk, 1), 1)
-            keymask = (krow < valid) | (krow == lpat)
-            sT = jnp.where(keymask, sT, NEG_INF)
-            scls = jnp.where(keymask, scls, NEG_INF)
-        if nomax:
-            p = jnp.exp(jnp.minimum(sT, 80.0))
-            pc = jnp.exp(jnp.minimum(scls, 80.0))
-        else:
-            p = jnp.exp(sT - jnp.max(sT, axis=1, keepdims=True))
-            pc = jnp.exp(scls - jnp.max(scls, axis=1, keepdims=True))
-        l = jnp.sum(p, axis=1, keepdims=True)
-        lc = jnp.sum(pc, axis=1, keepdims=True)
-        oT = jax.lax.dot_general(
-            v_ext, p.astype(cdt), (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) / l
-        oc = jax.lax.dot_general(
-            v_ext, pc.astype(cdt), (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) / lc
-        o_parts.append(oT.reshape(hs, lpat).astype(cdt))
-        ocls_parts.append(oc.reshape(hs, 1).astype(cdt))
+            # patch-query scores (h, LK, LPAT): contract head_dim (sublanes)
+            sT = jax.lax.dot_general(
+                k_ext, q3, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            # cls-query scores (h, LK, 1)
+            scls = jax.lax.dot_general(
+                k_ext, qcls, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            if valid < lpat:  # mask padded patch keys (keep the cls key)
+                krow = jax.lax.broadcasted_iota(jnp.int32, (1, lk, 1), 1)
+                keymask = (krow < valid) | (krow == lpat)
+                sT = jnp.where(keymask, sT, NEG_INF)
+                scls = jnp.where(keymask, scls, NEG_INF)
+            if nomax:
+                p = jnp.exp(jnp.minimum(sT, 80.0))
+                pc = jnp.exp(jnp.minimum(scls, 80.0))
+            else:
+                p = jnp.exp(sT - jnp.max(sT, axis=1, keepdims=True))
+                pc = jnp.exp(scls - jnp.max(scls, axis=1, keepdims=True))
+            l = jnp.sum(p, axis=1, keepdims=True)
+            lc = jnp.sum(pc, axis=1, keepdims=True)
+            oT = jax.lax.dot_general(
+                v_ext, p.astype(cdt), (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32) / l
+            oc = jax.lax.dot_general(
+                v_ext, pc.astype(cdt), (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32) / lc
+            o_parts[i].append(oT.reshape(hs, lpat).astype(cdt))
+            ocls_parts[i].append(oc.reshape(hs, 1).astype(cdt))
 
-    oT = jnp.concatenate(o_parts, 0) if len(o_parts) > 1 else o_parts[0]
-    oclsT = jnp.concatenate(ocls_parts, 0) if len(ocls_parts) > 1 else ocls_parts[0]
+    def cat(parts):
+        return jnp.concatenate(parts, 0) if len(parts) > 1 else parts[0]
 
+    o2 = (cat(o_parts[0]) if nimg == 1 else
+          jnp.concatenate([cat(o_parts[i]) for i in range(nimg)], axis=1))
     # outT[dout, l] = sum_d wo[d, dout] * oT[d, l]   (AtB form)
     outT = jax.lax.dot_general(
-        wo_ref[...], oT, (((0,), (0,)), ((), ())),
+        wo_ref[...], o2, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    o_ref[0] = (outT + vecT_ref[:, 5:6]).astype(o_ref.dtype) + xT
-    ocls_ref[0, 0, :] = oclsT.reshape(d)
+    outT = outT + vecT_ref[:, 5:6]
+    for i in range(nimg):
+        o_ref[i] = (outT[:, i * lpat:(i + 1) * lpat]).astype(
+            o_ref.dtype) + xT_ref[i]
+        ocls_ref[i, 0, :] = cat(ocls_parts[i]).reshape(d)
 
 
 def _mhsa_t_call(xT, clsqkv, wqkv, wo, vecT, bqkvT, *, num_heads, valid,
@@ -160,23 +172,26 @@ def _mhsa_t_call(xT, clsqkv, wqkv, wo, vecT, bqkvT, *, num_heads, valid,
     b, d, lpat = xT.shape
     head_dim = d // num_heads
     hchunk = _pick_hchunk(num_heads, lpat + 8, lpat)
+    # 2 images per step widens every projection dot to 2·LPAT lanes
+    # (measured +2.6% on the sub-kernel at ViT-L shapes)
+    nimg = 2 if b % 2 == 0 else 1
     out, ocls = pl.pallas_call(
         functools.partial(
             _mhsa_t_kernel, num_heads=num_heads, head_dim=head_dim,
             lpat=lpat, valid=valid, hchunk=hchunk, eps=eps,
-            sm_scale=sm_scale, nomax=nomax),
-        grid=(b, 1, 1),
+            sm_scale=sm_scale, nomax=nomax, nimg=nimg),
+        grid=(b // nimg, 1, 1),
         in_specs=[
-            pl.BlockSpec((1, d, lpat), lambda i, _, __: (i, 0, 0)),
-            pl.BlockSpec((1, 3 * d, 1), lambda i, _, __: (i, 0, 0)),
+            pl.BlockSpec((nimg, d, lpat), lambda i, _, __: (i, 0, 0)),
+            pl.BlockSpec((nimg, 3 * d, 1), lambda i, _, __: (i, 0, 0)),
             pl.BlockSpec((d, 3 * d), lambda i, _, __: (0, 0)),
             pl.BlockSpec((d, d), lambda i, _, __: (0, 0)),
             pl.BlockSpec((d, 8), lambda i, _, __: (0, 0)),
             pl.BlockSpec((3 * d, 1), lambda i, _, __: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, d, lpat), lambda i, _, __: (i, 0, 0)),
-            pl.BlockSpec((1, 1, d), lambda i, _, __: (i, 0, 0)),
+            pl.BlockSpec((nimg, d, lpat), lambda i, _, __: (i, 0, 0)),
+            pl.BlockSpec((nimg, 1, d), lambda i, _, __: (i, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, d, lpat), xT.dtype),

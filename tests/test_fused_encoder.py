@@ -117,3 +117,12 @@ def test_vit_fused_t_sharded_matches_unsharded():
     with use_mesh(mesh):
         out = jax.jit(lambda p, x: m_f.apply({"params": p}, x))(params, imgs)
     np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=1e-4, rtol=1e-4)
+
+
+def test_vit_fused_t_odd_batch():
+    # odd batches take the 1-image-per-grid-step path
+    m_x, m_f = _build("xla"), _build("fused_t")
+    params, img = _params_and_image(m_x, batch=3)
+    ox = m_x.apply({"params": params}, img)
+    of = m_f.apply({"params": params}, img)
+    np.testing.assert_allclose(np.asarray(ox), np.asarray(of), atol=1e-4, rtol=1e-4)
