@@ -123,16 +123,26 @@ def get_source(data_cfg) -> grain.RandomAccessDataSource:
         paths = data_cfg.get("paths") or sorted(_glob.glob(data_cfg["pattern"]))
         return WebdatasetTarSource(paths)
     if name == "tfds":
-        try:
-            import tensorflow_datasets as tfds
+        # Directories without tfds metadata (e.g. data/prepare.py output) are
+        # unreadable by builder_from_directory even when the package IS
+        # installed, so gate on dataset_info.json rather than catching only
+        # ImportError.
+        has_meta = os.path.exists(
+            os.path.join(data_cfg["data_dir"], "dataset_info.json")
+        )
+        if has_meta:
+            try:
+                import tensorflow_datasets as tfds
 
-            builder = tfds.builder_from_directory(data_cfg["data_dir"])
-            return builder.as_data_source(split=data_cfg["split"])
-        except ImportError:
-            # package absent: serve the same directory from first principles
-            return TfdsDirectorySource(
-                data_cfg["data_dir"], data_cfg.get("split", "train")
-            )
+                builder = tfds.builder_from_directory(data_cfg["data_dir"])
+                return builder.as_data_source(split=data_cfg["split"])
+            except ImportError:
+                pass
+        # metadata absent or package absent: serve the directory from
+        # first principles
+        return TfdsDirectorySource(
+            data_cfg["data_dir"], data_cfg.get("split", "train")
+        )
     raise ValueError(f"Unknown data source: {name!r}")
 
 
@@ -252,6 +262,7 @@ def make_for_inference(
     *,
     seed: int = 0,
     num_workers: int = 0,
+    shard: bool = True,
 ):
     """Eval pipeline: one epoch, final batch zero-padded with a `_mask` key.
 
@@ -261,16 +272,31 @@ def make_for_inference(
     runs in grain worker processes (the reference pipelines eval pp through
     parallel tf.data threads, input_pipeline.py:141-189) — evaluators should
     pass their pp string here rather than mapping per example on the host.
+
+    `shard=False` makes every process iterate the FULL source in lockstep
+    (identical local batches on all hosts) instead of a per-process shard.
+    Small evals that slice their own rows back out of a replicated global
+    batch (e.g. retrieval) need this: with sharding, rows [0:local_bs] of the
+    global batch are process 0's shard, not this host's records.
     """
     import_pp_modules()
     pp_fn = build_pp_fn(pp_string) if pp_string else (lambda d, r: d)
 
     local_bs = batch_size // jax.process_count()
+    # Every process yields EXACTLY this many batches — computable from global
+    # quantities only — so multihost eval loops stay in lockstep even when
+    # grain's per-process shard sizes straddle a batch boundary (the point of
+    # the reference's infinite-padding trick, input_pipeline.py:141-182).
+    # ceil(local_n / local_bs) <= ceil(ceil(n/P) / local_bs) = n_steps always.
+    n_steps = -(-len(source) // (batch_size if shard else local_bs))
 
     def iterate() -> Iterator[dict]:
         sampler = grain.IndexSampler(
             num_records=len(source),
-            shard_options=grain.ShardByJaxProcess(drop_remainder=False),
+            shard_options=(
+                grain.ShardByJaxProcess(drop_remainder=False) if shard
+                else grain.ShardOptions(shard_index=0, shard_count=1)
+            ),
             shuffle=False,
             num_epochs=1,
             seed=seed,
@@ -282,17 +308,30 @@ def make_for_inference(
             worker_count=num_workers,
         )
         buf: list[dict] = []
+        yielded = 0
+        pad = None
         for ex in loader:
             ex["_mask"] = np.ones((), np.float32)
             buf.append(ex)
             if len(buf) == local_bs:
                 yield _stack(buf)
+                yielded += 1
+                pad = pad or {k: np.zeros_like(v) for k, v in buf[-1].items()}
                 buf = []
         if buf:
             pad = {k: np.zeros_like(v) for k, v in buf[-1].items()}
+        if pad is None and yielded < n_steps:
+            # empty local shard (source smaller than process count): derive
+            # the batch structure from record 0 so padding batches still flow.
+            ex = pp_fn(dict(source[0]), np.random.default_rng(0))
+            ex["_mask"] = np.ones((), np.float32)
+            pad = {k: np.zeros_like(np.asarray(v)) for k, v in ex.items()}
+        while yielded < n_steps:
             while len(buf) < local_bs:
                 buf.append(dict(pad))
             yield _stack(buf)
+            yielded += 1
+            buf = []
 
     return iterate
 

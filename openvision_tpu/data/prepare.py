@@ -26,13 +26,63 @@ import struct
 IMG_EXTS = (".jpeg", ".jpg", ".png", ".webp", ".bmp")
 
 
+def _crc32c_table() -> list[int]:
+    poly = 0x82F63B78  # Castagnoli, reflected
+    table = []
+    for i in range(256):
+        c = i
+        for _ in range(8):
+            c = (c >> 1) ^ poly if c & 1 else c >> 1
+        table.append(c)
+    return table
+
+
+_CRC32C_TABLE = _crc32c_table()
+
+
+def _masked_crc32c(data: bytes) -> int:
+    """TFRecord's masked crc32c (the framing checksum standard readers
+    verify): rotate-right-15 of crc32c plus the mask constant."""
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = _CRC32C_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    crc ^= 0xFFFFFFFF
+    return (((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+
+
 def _write_record(f, payload: bytes):
-    # TFRecord framing; crc fields zeroed (readers that verify crc should
-    # use tfds — TfdsDirectorySource skips them by design).
-    f.write(struct.pack("<Q", len(payload)))
-    f.write(b"\x00" * 4)
+    # TFRecord framing with real masked-crc32c fields so standard
+    # CRC-verifying readers (tf.data, tfds) accept these shards too;
+    # TfdsDirectorySource skips verification either way.
+    length = struct.pack("<Q", len(payload))
+    f.write(length)
+    f.write(struct.pack("<I", _masked_crc32c(length)))
     f.write(payload)
-    f.write(b"\x00" * 4)
+    f.write(struct.pack("<I", _masked_crc32c(payload)))
+
+
+class _Writer:
+    """One TFRecord shard writer: TF's C++ TFRecordWriter when available
+    (fast CRC), else the Python framing above."""
+
+    def __init__(self, path: str):
+        try:
+            import tensorflow as tf
+
+            self._w = tf.io.TFRecordWriter(path)
+            self._f = None
+        except ImportError:
+            self._w = None
+            self._f = open(path, "wb")
+
+    def write(self, payload: bytes):
+        if self._w is not None:
+            self._w.write(payload)
+        else:
+            _write_record(self._f, payload)
+
+    def close(self):
+        (self._w or self._f).close()
 
 
 def _example(image_bytes: bytes, label: int, fname: str) -> bytes:
@@ -66,8 +116,8 @@ def prepare(src: str, out: str, split: str = "validation",
     shards = max(1, min(shards, len(files)))
 
     handles = [
-        open(os.path.join(
-            out, f"{name}-{split}.tfrecord-{i:05d}-of-{shards:05d}"), "wb")
+        _Writer(os.path.join(
+            out, f"{name}-{split}.tfrecord-{i:05d}-of-{shards:05d}"))
         for i in range(shards)
     ]
     try:
@@ -75,7 +125,7 @@ def prepare(src: str, out: str, split: str = "validation",
             with open(path, "rb") as imgf:
                 payload = _example(
                     imgf.read(), label, os.path.basename(path))
-            _write_record(handles[i % shards], payload)
+            handles[i % shards].write(payload)
     finally:
         for h in handles:
             h.close()

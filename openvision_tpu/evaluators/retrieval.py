@@ -115,9 +115,15 @@ class Evaluator:
             def __getitem__(self, i):
                 return {"image": src[i]["image"]}
 
+        # shard=False: every host iterates the FULL source in lockstep, so
+        # the rows this host slices back out of the replicated global batch
+        # ([: local_bs], i.e. process 0's block == every process's identical
+        # block) are exactly its records. With per-process sharding, those
+        # rows would be process 0's shard on every host and recall would be
+        # computed over ~1/P of the images.
         it = pipe.make_for_inference(
             _ImgOnly(), self.pp_img_string, self.batch_size,
-            num_workers=self.num_workers,
+            num_workers=self.num_workers, shard=False,
         )()
         outs, pending = [], None
         for batch in it:

@@ -263,7 +263,8 @@ void* wp_load(const char* vocab_path) {
     size_t nl = content.find('\n', pos);
     if (nl == std::string::npos) nl = content.size();
     std::string tok = content.substr(pos, nl - pos);
-    tk->vocab.emplace(std::move(tok), idx++);
+    // last-wins on duplicated vocab lines, matching Python dict assignment
+    tk->vocab[std::move(tok)] = idx++;
     if (nl == content.size()) break;
     pos = nl + 1;
   }

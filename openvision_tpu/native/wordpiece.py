@@ -30,11 +30,16 @@ class NativeWordPiece:
         self._h = handle
         self._buf = (ctypes.c_int32 * _MAX_IDS)()
 
-    def encode(self, text: str) -> list[int]:
+    def encode(self, text: str) -> list[int] | None:
+        """Token ids, or None when the result exceeds the native buffer
+        (very long texts) — the caller must fall back to the Python path
+        so both paths tokenize identically at any length."""
         n = self._lib.wp_encode(
             self._h, text.encode("utf-8"), self._buf, _MAX_IDS
         )
-        return list(self._buf[: min(n, _MAX_IDS)])
+        if n > _MAX_IDS:
+            return None
+        return list(self._buf[:n])
 
     def __del__(self):
         try:

@@ -100,10 +100,20 @@ def _load_transform(config, init_params, params_sharding):
 def build_evaluators(config, model, mesh, writer, note=print):
     from openvision_tpu.evaluators import common as eval_common
 
-    return eval_common.from_config(
-        config, model, mesh,
-        on_error=lambda name, e: note(f"evaluator {name!r} disabled: {e}"),
-    )
+    def on_error(name, e):
+        # Multi-process: a per-process skip would desync the evaluator sets
+        # (the eval barrier + the evaluators' jitted collectives are driven by
+        # each process's local list — divergence turns a skipped evaluator
+        # into a multihost hang). Fail loud instead.
+        if jax.process_count() > 1:
+            raise RuntimeError(
+                f"evaluator {name!r} failed to construct on process "
+                f"{jax.process_index()}; fatal under multi-process to keep "
+                f"evaluator sets identical across hosts"
+            ) from e
+        note(f"evaluator {name!r} disabled: {e}")
+
+    return eval_common.from_config(config, model, mesh, on_error=on_error)
 
 
 def train(config, workdir: Optional[str] = None):
@@ -245,7 +255,12 @@ def train(config, workdir: Optional[str] = None):
 
     note("starting training loop")
     for step, batch in zip(range(first_step + 1, total_steps + 1), train_iter):
-        sync("data_loading")
+        if step == first_step + 1:
+            # one rendezvous when every host has its first batch; per-step
+            # barriers add host latency with no correctness benefit (the
+            # step's collectives already synchronize devices) — the
+            # reference also only syncs at coarse points.
+            sync("data_loading")
         writer.step_start(step)
         if workdir and prof_stop and step == prof_start and jax.process_index() == 0:
             jax.profiler.start_trace(os.path.join(workdir, "profile"))
