@@ -318,7 +318,9 @@ def _block_reference(x, wq, wk, wv, wo, vec, num_heads, sm_scale, causal, eps):
     mean = jnp.mean(xf, -1, keepdims=True)
     var = jnp.var(xf, -1, keepdims=True)
     y = ((xf - mean) * jax.lax.rsqrt(var + eps) * vec[0] + vec[1]).astype(x.dtype)
-    q = (y @ wq * sm_scale + vec[2]).reshape(b, l, num_heads, hd)
+    # scale AFTER the bias add — matching the kernel and the model's xla path
+    # (attention_module.py applies sm_scale to the biased q projection)
+    q = ((y @ wq + vec[2]) * sm_scale).reshape(b, l, num_heads, hd)
     k = (y @ wk + vec[3]).reshape(b, l, num_heads, hd)
     v = (y @ wv + vec[4]).reshape(b, l, num_heads, hd)
     s = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
@@ -852,6 +854,207 @@ def _block_partial_reference(x, wq, wk, wv, wo, ln2, bqkv, num_heads,
     return (o @ wo).astype(x.dtype)
 
 
+def _block_partial_bwd_kernel(
+    x_ref, g_ref, wq_ref, wk_ref, wv_ref, wo_ref, ln_ref, b_ref,
+    dx_ref, dwq_ref, dwk_ref, dwv_ref, dwo_ref, dln_ref, db_ref,
+    *, num_heads, head_dim, lp, seq, causal, hchunk, eps, sm_scale,
+):
+    """Backward of the TP partial block OutProj_local(MHA_local(LN(x))) —
+    the _block_bwd_kernel math generalized to rectangular weights
+    (wq/wk/wv: (D, DL), wo: (DL, D), DL = D/t local heads), without the
+    residual/bo terms (both live outside the shard_map). dx is the LN-path
+    cotangent only; the caller psums it over `tensor` and adds g."""
+    first = pl.program_id(0) == 0
+
+    @pl.when(first)
+    def _zero():
+        dwq_ref[...] = jnp.zeros_like(dwq_ref)
+        dwk_ref[...] = jnp.zeros_like(dwk_ref)
+        dwv_ref[...] = jnp.zeros_like(dwv_ref)
+        dwo_ref[...] = jnp.zeros_like(dwo_ref)
+        dln_ref[...] = jnp.zeros_like(dln_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    x = x_ref[0]  # (L, D)
+    g = g_ref[0]
+    cdt = x.dtype
+    dims = (((1,), (0,)), ((), ()))
+
+    # ---- forward recompute ----
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=1, keepdims=True) - mean * mean
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = (xf - mean) * rstd
+    ln_s = ln_ref[0:1, :]
+    y = (xhat * ln_s + ln_ref[1:2, :]).astype(cdt)
+
+    q = jax.lax.dot_general(y, wq_ref[...], dims,
+                            preferred_element_type=jnp.float32) + b_ref[0:1, :]
+    k = jax.lax.dot_general(y, wk_ref[...], dims,
+                            preferred_element_type=jnp.float32) + b_ref[1:2, :]
+    v = jax.lax.dot_general(y, wv_ref[...], dims,
+                            preferred_element_type=jnp.float32) + b_ref[2:3, :]
+    q = q * sm_scale
+
+    pad = ((0, 0), (0, lp - seq))
+    qT = jnp.pad(q.astype(cdt).T, pad)
+    kT = jnp.pad(k.astype(cdt).T, pad)
+    vT = jnp.pad(v.astype(cdt).T, pad)
+
+    # do = g @ Wo^T
+    do = jax.lax.dot_general(g, wo_ref[...], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    doT = jnp.pad(do.astype(cdt).T, pad)
+
+    dq_parts, dk_parts, dv_parts, o_parts = [], [], [], []
+    for c in range(num_heads // hchunk):
+        rows = slice(c * hchunk * head_dim, (c + 1) * hchunk * head_dim)
+        q3 = qT[rows].reshape(hchunk, head_dim, lp)
+        k3 = kT[rows].reshape(hchunk, head_dim, lp)
+        v3 = vT[rows].reshape(hchunk, head_dim, lp)
+        do3 = doT[rows].reshape(hchunk, head_dim, lp)
+
+        sT = jax.lax.dot_general(k3, q3, (((1,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        krow = jax.lax.broadcasted_iota(jnp.int32, (1, lp, lp), 1)
+        valid = krow < seq
+        if causal:
+            qcol = jax.lax.broadcasted_iota(jnp.int32, (1, lp, lp), 2)
+            valid &= krow <= qcol
+        sT = jnp.where(valid, sT, NEG_INF)
+        m = jnp.max(sT, axis=1, keepdims=True)
+        p = jnp.exp(sT - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        l = jnp.where(l <= 0.0, 1.0, l)
+        a = p / l
+
+        ab = a.astype(cdt)
+        o_parts.append(
+            jax.lax.dot_general(v3, ab, (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+            .reshape(hchunk * head_dim, lp).astype(cdt)
+        )
+        dv3 = jax.lax.dot_general(do3, ab, (((2,), (2,)), ((0,), (0,))),
+                                  preferred_element_type=jnp.float32)
+        dv_parts.append(dv3.reshape(hchunk * head_dim, lp).astype(cdt))
+        dp = jax.lax.dot_general(v3, do3, (((1,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        ds = a * (dp - jnp.sum(dp * a, axis=1, keepdims=True))
+        dsb = ds.astype(cdt)
+        dq3 = jax.lax.dot_general(k3, dsb, (((2,), (1,)), ((0,), (0,))),
+                                  preferred_element_type=jnp.float32)
+        dq_parts.append(dq3.reshape(hchunk * head_dim, lp).astype(cdt))
+        dk3 = jax.lax.dot_general(q3, dsb, (((2,), (2,)), ((0,), (0,))),
+                                  preferred_element_type=jnp.float32)
+        dk_parts.append(dk3.reshape(hchunk * head_dim, lp).astype(cdt))
+
+    def cat(parts):
+        return (jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0])
+
+    o = cat(o_parts).T[:seq]       # (L, DL)
+    dq = cat(dq_parts).T[:seq] * sm_scale
+    dk = cat(dk_parts).T[:seq]
+    dv = cat(dv_parts).T[:seq]
+
+    dwo_ref[...] += jax.lax.dot_general(
+        o, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dyf = jax.lax.dot_general(dq.astype(cdt), wq_ref[...],
+                              (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dyf += jax.lax.dot_general(dk.astype(cdt), wk_ref[...],
+                               (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    dyf += jax.lax.dot_general(dv.astype(cdt), wv_ref[...],
+                               (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+    dwq_ref[...] += jax.lax.dot_general(
+        y, dq.astype(cdt), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dwk_ref[...] += jax.lax.dot_general(
+        y, dk.astype(cdt), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dwv_ref[...] += jax.lax.dot_general(
+        y, dv.astype(cdt), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    dln_ref[...] += jnp.concatenate(
+        [
+            jnp.sum(dyf * xhat, axis=0, keepdims=True),
+            jnp.sum(dyf, axis=0, keepdims=True),
+        ],
+        axis=0,
+    )
+    db_ref[...] += jnp.concatenate(
+        [
+            jnp.sum(dq, axis=0, keepdims=True),
+            jnp.sum(dk, axis=0, keepdims=True),
+            jnp.sum(dv, axis=0, keepdims=True),
+        ],
+        axis=0,
+    )
+    dxhat = dyf * ln_s
+    mean_dxhat = jnp.mean(dxhat, axis=1, keepdims=True)
+    mean_dxhat_xhat = jnp.mean(dxhat * xhat, axis=1, keepdims=True)
+    dx_ref[0] = (rstd * (dxhat - mean_dxhat - xhat * mean_dxhat_xhat)
+                 ).astype(dx_ref.dtype)
+
+
+def _block_partial_bwd_impl(x, g, wq, wk, wv, wo, ln2, bqkv, num_heads,
+                            sm_scale, causal, eps, interpret):
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, l, d = x.shape
+    dl = wq.shape[1]
+    head_dim = dl // num_heads
+    lp = _ceil_to(l, 128)
+    hchunk = _pick_hchunk(num_heads, head_dim, lp, budget=4 * 1024 * 1024)
+
+    outs = pl.pallas_call(
+        functools.partial(
+            _block_partial_bwd_kernel, num_heads=num_heads,
+            head_dim=head_dim, lp=lp, seq=l, causal=causal, hchunk=hchunk,
+            eps=eps, sm_scale=sm_scale,
+        ),
+        grid=(b, 1, 1),
+        in_specs=[
+            pl.BlockSpec((1, l, d), lambda i, _, __: (i, 0, 0)),
+            pl.BlockSpec((1, l, d), lambda i, _, __: (i, 0, 0)),
+            pl.BlockSpec((d, dl), lambda i, _, __: (0, 0)),
+            pl.BlockSpec((d, dl), lambda i, _, __: (0, 0)),
+            pl.BlockSpec((d, dl), lambda i, _, __: (0, 0)),
+            pl.BlockSpec((dl, d), lambda i, _, __: (0, 0)),
+            pl.BlockSpec((2, d), lambda i, _, __: (0, 0)),
+            pl.BlockSpec((3, dl), lambda i, _, __: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, l, d), lambda i, _, __: (i, 0, 0)),
+            pl.BlockSpec((d, dl), lambda i, _, __: (0, 0)),
+            pl.BlockSpec((d, dl), lambda i, _, __: (0, 0)),
+            pl.BlockSpec((d, dl), lambda i, _, __: (0, 0)),
+            pl.BlockSpec((dl, d), lambda i, _, __: (0, 0)),
+            pl.BlockSpec((2, d), lambda i, _, __: (0, 0)),
+            pl.BlockSpec((3, dl), lambda i, _, __: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, l, d), x.dtype),
+            jax.ShapeDtypeStruct((d, dl), jnp.float32),
+            jax.ShapeDtypeStruct((d, dl), jnp.float32),
+            jax.ShapeDtypeStruct((d, dl), jnp.float32),
+            jax.ShapeDtypeStruct((dl, d), jnp.float32),
+            jax.ShapeDtypeStruct((2, d), jnp.float32),
+            jax.ShapeDtypeStruct((3, dl), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(x, g, wq.astype(x.dtype), wk.astype(x.dtype), wv.astype(x.dtype),
+      wo.astype(x.dtype), ln2.astype(jnp.float32), bqkv.astype(jnp.float32))
+    return outs
+
+
 def _tp_block_call(cfg, x, wq, wk, wv, wo, ln2, bqkv, bo):
     """Forward: shard_map'ed partial kernels + explicit psum over tensor."""
     from jax import shard_map
@@ -887,6 +1090,10 @@ def _tp_block_fwd(cfg, x, wq, wk, wv, wo, ln2, bqkv, bo):
 
 
 def _tp_block_bwd(cfg, res, g):
+    """Backward through the TP partial Pallas kernel (not a reference VJP):
+    each shard runs _block_partial_bwd_impl on its local heads, then the
+    same explicit collectives as before reduce dx over `tensor` and the
+    weight grads over the batch axes."""
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
@@ -895,12 +1102,15 @@ def _tp_block_bwd(cfg, res, g):
     x, wq, wk, wv, wo, ln2, bqkv = res
 
     def body(x, g, wq, wk, wv, wo, ln2, bqkv):
-        _, vjp = jax.vjp(
-            lambda x_, a, b_, c, d_, l2, bq: _block_partial_reference(
-                x_, a, b_, c, d_, l2, bq, nh_l, sm_scale, causal, eps),
-            x, wq, wk, wv, wo, ln2, bqkv,
-        )
-        dx_p, dwq, dwk, dwv, dwo, dln2_p, dbqkv = vjp(g)
+        dx_p, dwq, dwk, dwv, dwo, dln2_p, dbqkv = _block_partial_bwd_impl(
+            x, g, wq, wk, wv, wo, ln2, bqkv, nh_l, sm_scale, causal, eps,
+            interpret)
+        dwq = dwq.astype(wq.dtype)
+        dwk = dwk.astype(wk.dtype)
+        dwv = dwv.astype(wv.dtype)
+        dwo = dwo.astype(wo.dtype)
+        dln2_p = dln2_p.astype(ln2.dtype)
+        dbqkv = dbqkv.astype(bqkv.dtype)
         dx = jax.lax.psum(dx_p, "tensor")
         dln2 = jax.lax.psum(dln2_p, ("tensor",) + baxes) if baxes else \
             jax.lax.psum(dln2_p, "tensor")

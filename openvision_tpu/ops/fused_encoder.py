@@ -29,9 +29,11 @@ block (vit.py:245-335 in /root/reference) — LN, MHSA with per-head softmax,
 out-proj, residual, LN, MLP, residual — restricted to the vision-encode
 configuration (no masks, no LayerScale, inference-mode dropout).
 
-The backward pass uses the VJP of a mathematically identical jnp reference
-(same approach as ops/fused_attention.py); training throughput paths use
-attn_impl="fused" whose backward is itself a Pallas kernel.
+Both kernels have fused Pallas BACKWARDS too (round 3): each recomputes its
+forward in-kernel (FlashAttention-style) and accumulates weight grads in f32
+VMEM blocks across the grid, so the flagship inference layout is also the
+training layout. The tiny cls-row side paths stay XLA and differentiate via
+autodiff; grads match the jnp reference (tests/test_fused_encoder.py).
 """
 
 from __future__ import annotations
@@ -204,6 +206,293 @@ def _mhsa_t_call(xT, clsqkv, wqkv, wo, vecT, bqkvT, *, num_heads, valid,
 
 
 # ---------------------------------------------------------------------------
+# MHSA-T backward kernel: recompute forward in-kernel, f32 weight-grad accum
+# ---------------------------------------------------------------------------
+
+
+def _mhsa_t_bwd_kernel(
+    xT_ref, clsqkv_ref, g_ref, gclsT_ref, wqkv_ref, wo_ref, vecT_ref, bqkvT_ref,
+    dx_ref, dcls_ref, dwqkv_ref, dwo_ref, dvec_ref, dbqkv_ref,
+    *, num_heads, head_dim, lpat, valid, hchunk, eps, sm_scale, nomax, nimg,
+):
+    """Backward of the MHSA-T kernel (same math as _tblock_reference's
+    attention sub-block). g: cotangent of the residual output blocks;
+    gclsT: cotangent of the (pre-out-proj) cls attention rows, passed as
+    (nimg, D, 1) COLUMNS so per-chunk slices are sublane slices.
+
+    Weight/vector grads accumulate in f32 output blocks resident in VMEM
+    across the whole grid (constant index maps -> one flush at the end)."""
+    first = pl.program_id(0) == 0
+
+    @pl.when(first)
+    def _zero():
+        dwqkv_ref[...] = jnp.zeros_like(dwqkv_ref)
+        dwo_ref[...] = jnp.zeros_like(dwo_ref)
+        dvec_ref[...] = jnp.zeros_like(dvec_ref)
+        dbqkv_ref[...] = jnp.zeros_like(dbqkv_ref)
+
+    cdt = xT_ref.dtype
+    d = num_heads * head_dim
+    lk = lpat + 1
+
+    x2 = (xT_ref[0] if nimg == 1 else
+          jnp.concatenate([xT_ref[i] for i in range(nimg)], axis=1))
+    g2 = (g_ref[0] if nimg == 1 else
+          jnp.concatenate([g_ref[i] for i in range(nimg)], axis=1))
+
+    # ---- forward recompute: LN over features (sublane axis) ----
+    xf = x2.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=0, keepdims=True)
+    var = jnp.mean(xf * xf, axis=0, keepdims=True) - mean * mean
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = (xf - mean) * rstd
+    ln_s = vecT_ref[:, 0:1]
+    y = (xhat * ln_s + vecT_ref[:, 1:2]).astype(cdt)
+
+    qkvT = jax.lax.dot_general(
+        wqkv_ref[...], y, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    qkvT = (qkvT + bqkvT_ref[...]).astype(cdt)  # (3D, N)
+
+    gf2 = g2.astype(jnp.float32)
+    # do2[d, l] = sum_dout wo[d, dout] g2[dout, l]
+    do2 = jax.lax.dot_general(
+        wo_ref[...], g2, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(cdt)
+
+    o_parts = [[] for _ in range(nimg)]
+    dq_parts = [[] for _ in range(nimg)]
+    dk_parts = [[] for _ in range(nimg)]
+    dv_parts = [[] for _ in range(nimg)]
+    dqc_parts = [[] for _ in range(nimg)]
+    dkc_parts = [[] for _ in range(nimg)]
+    dvc_parts = [[] for _ in range(nimg)]
+    for c in range(num_heads // hchunk):
+        r0 = c * hchunk * head_dim
+        hs = hchunk * head_dim
+        for i in range(nimg):
+            cols = slice(i * lpat, (i + 1) * lpat)
+            clsqkvT = clsqkv_ref[i].astype(cdt)  # (3D, 1)
+            q3 = (qkvT[r0:r0 + hs, cols] * sm_scale).astype(cdt).reshape(
+                hchunk, head_dim, lpat)
+            k3p = qkvT[d + r0:d + r0 + hs, cols].reshape(hchunk, head_dim, lpat)
+            v3p = qkvT[2 * d + r0:2 * d + r0 + hs, cols].reshape(
+                hchunk, head_dim, lpat)
+            qcls = (clsqkvT[r0:r0 + hs] * sm_scale).astype(cdt).reshape(
+                hchunk, head_dim, 1)
+            kcls = clsqkvT[d + r0:d + r0 + hs].reshape(hchunk, head_dim, 1)
+            vcls = clsqkvT[2 * d + r0:2 * d + r0 + hs].reshape(
+                hchunk, head_dim, 1)
+            k_ext = jnp.concatenate([k3p, kcls], axis=2)  # (h, HD, LK)
+            v_ext = jnp.concatenate([v3p, vcls], axis=2)
+
+            sT = jax.lax.dot_general(
+                k_ext, q3, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            scls = jax.lax.dot_general(
+                k_ext, qcls, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            if valid < lpat:
+                krow = jax.lax.broadcasted_iota(jnp.int32, (1, lk, 1), 1)
+                keymask = (krow < valid) | (krow == lpat)
+                sT = jnp.where(keymask, sT, NEG_INF)
+                scls = jnp.where(keymask, scls, NEG_INF)
+            if nomax:
+                p = jnp.exp(jnp.minimum(sT, 80.0))
+                pc = jnp.exp(jnp.minimum(scls, 80.0))
+            else:
+                p = jnp.exp(sT - jnp.max(sT, axis=1, keepdims=True))
+                pc = jnp.exp(scls - jnp.max(scls, axis=1, keepdims=True))
+            a = p / jnp.sum(p, axis=1, keepdims=True)    # (h, LK, LPAT)
+            ac = pc / jnp.sum(pc, axis=1, keepdims=True)  # (h, LK, 1)
+            ab, acb = a.astype(cdt), ac.astype(cdt)
+
+            # forward attention output (for dWo)
+            o_parts[i].append(jax.lax.dot_general(
+                v_ext, ab, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+                .reshape(hs, lpat).astype(cdt))
+
+            do3 = do2[r0:r0 + hs, cols].reshape(hchunk, head_dim, lpat)
+            doc = gclsT_ref[i, r0:r0 + hs].astype(cdt).reshape(
+                hchunk, head_dim, 1)
+
+            # dv[h,d,k] = sum_q do[h,d,q] a[h,k,q]   (+ cls-query term)
+            dv3 = jax.lax.dot_general(
+                do3, ab, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            dv3 += jax.lax.dot_general(
+                doc, acb, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            # da[h,k,q] = sum_d v[h,d,k] do[h,d,q]
+            da = jax.lax.dot_general(
+                v_ext, do3, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            dac = jax.lax.dot_general(
+                v_ext, doc, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            # softmax backward over keys (axis 1)
+            ds = a * (da - jnp.sum(da * a, axis=1, keepdims=True))
+            dsc = ac * (dac - jnp.sum(dac * ac, axis=1, keepdims=True))
+            dsb, dscb = ds.astype(cdt), dsc.astype(cdt)
+            # dq[h,d,q] = sum_k k[h,d,k] ds[h,k,q]
+            dq3 = jax.lax.dot_general(
+                k_ext, dsb, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            dqc = jax.lax.dot_general(
+                k_ext, dscb, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            # dk[h,d,k] = sum_q q[h,d,q] ds[h,k,q]   (+ cls-query term)
+            dk3 = jax.lax.dot_general(
+                q3, dsb, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            dk3 += jax.lax.dot_general(
+                qcls, dscb, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+
+            dq_parts[i].append(
+                (dq3.reshape(hs, lpat) * sm_scale).astype(cdt))
+            dk_parts[i].append(
+                dk3[:, :, :lpat].reshape(hs, lpat).astype(cdt))
+            dv_parts[i].append(
+                dv3[:, :, :lpat].reshape(hs, lpat).astype(cdt))
+            dqc_parts[i].append(dqc.reshape(hs, 1) * sm_scale)
+            dkc_parts[i].append(dk3[:, :, lpat:].reshape(hs, 1))
+            dvc_parts[i].append(dv3[:, :, lpat:].reshape(hs, 1))
+
+    def cat(parts, axis=0):
+        return jnp.concatenate(parts, axis) if len(parts) > 1 else parts[0]
+
+    def img_cat(per_img):
+        rows = [cat(per_img[i]) for i in range(nimg)]
+        return cat(rows, axis=1) if nimg > 1 else rows[0]
+
+    o2 = img_cat(o_parts)      # (D, N)
+    dq2 = img_cat(dq_parts)
+    dk2 = img_cat(dk_parts)
+    dv2 = img_cat(dv_parts)
+    dqkvT = jnp.concatenate([dq2, dk2, dv2], axis=0)  # (3D, N)
+
+    # out-proj grads: dwo[d, dout] = sum_l o2[d,l] g2[dout,l]
+    dwo_ref[...] += jax.lax.dot_general(
+        o2, g2, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    dbo = jnp.sum(gf2, axis=1, keepdims=True)  # (D, 1)
+    dbqkv_ref[...] += jnp.sum(
+        dqkvT.astype(jnp.float32), axis=1, keepdims=True)
+
+    # dy[d, l] = sum_o wqkv[d, o] dqkvT[o, l]
+    dyf = jax.lax.dot_general(
+        wqkv_ref[...], dqkvT, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    # dwqkv[d, o] = sum_l y[d,l] dqkvT[o,l]
+    dwqkv_ref[...] += jax.lax.dot_general(
+        y, dqkvT, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    # LN backward (per-column; features on sublanes)
+    zcol = jnp.zeros((d, 1), jnp.float32)
+    dvec_ref[...] += jnp.concatenate(
+        [
+            jnp.sum(dyf * xhat, axis=1, keepdims=True),  # dln_scale
+            jnp.sum(dyf, axis=1, keepdims=True),         # dln_bias
+            zcol, zcol, zcol,
+            dbo,                                         # col 5 = dbo
+            zcol, zcol,
+        ],
+        axis=1,
+    )
+    dxhat = dyf * ln_s
+    mean_dxhat = jnp.mean(dxhat, axis=0, keepdims=True)
+    mean_dxhat_xhat = jnp.mean(dxhat * xhat, axis=0, keepdims=True)
+    dx_ln = rstd * (dxhat - mean_dxhat - xhat * mean_dxhat_xhat)
+
+    for i in range(nimg):
+        dx_ref[i] = (g_ref[i].astype(jnp.float32)
+                     + dx_ln[:, i * lpat:(i + 1) * lpat]).astype(dx_ref.dtype)
+        dcls_ref[i] = jnp.concatenate(
+            [cat(dqc_parts[i]), cat(dkc_parts[i]), cat(dvc_parts[i])], axis=0
+        ).astype(dcls_ref.dtype)
+
+
+def _mhsa_t_bwd_call(xT, clsqkv, g, gcls, wqkv, wo, vecT, bqkvT, *,
+                     num_heads, valid, eps, sm_scale, nomax, interpret):
+    b, d, lpat = xT.shape
+    head_dim = d // num_heads
+    # the bwd holds ~4 score-sized f32 tensors at once -> smaller budget
+    hchunk = _pick_hchunk(num_heads, lpat + 8, lpat,
+                          budget=int(2.5 * 1024 * 1024))
+    nimg = 2 if b % 2 == 0 else 1
+    outs = pl.pallas_call(
+        functools.partial(
+            _mhsa_t_bwd_kernel, num_heads=num_heads, head_dim=head_dim,
+            lpat=lpat, valid=valid, hchunk=hchunk, eps=eps,
+            sm_scale=sm_scale, nomax=nomax, nimg=nimg),
+        grid=(b // nimg, 1, 1),
+        in_specs=[
+            pl.BlockSpec((nimg, d, lpat), lambda i, _, __: (i, 0, 0)),
+            pl.BlockSpec((nimg, 3 * d, 1), lambda i, _, __: (i, 0, 0)),
+            pl.BlockSpec((nimg, d, lpat), lambda i, _, __: (i, 0, 0)),
+            pl.BlockSpec((nimg, d, 1), lambda i, _, __: (i, 0, 0)),
+            pl.BlockSpec((d, 3 * d), lambda i, _, __: (0, 0)),
+            pl.BlockSpec((d, d), lambda i, _, __: (0, 0)),
+            pl.BlockSpec((d, 8), lambda i, _, __: (0, 0)),
+            pl.BlockSpec((3 * d, 1), lambda i, _, __: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((nimg, d, lpat), lambda i, _, __: (i, 0, 0)),
+            pl.BlockSpec((nimg, 3 * d, 1), lambda i, _, __: (i, 0, 0)),
+            pl.BlockSpec((d, 3 * d), lambda i, _, __: (0, 0)),
+            pl.BlockSpec((d, d), lambda i, _, __: (0, 0)),
+            pl.BlockSpec((d, 8), lambda i, _, __: (0, 0)),
+            pl.BlockSpec((3 * d, 1), lambda i, _, __: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, d, lpat), xT.dtype),
+            jax.ShapeDtypeStruct((b, 3 * d, 1), xT.dtype),
+            jax.ShapeDtypeStruct((d, 3 * d), jnp.float32),
+            jax.ShapeDtypeStruct((d, d), jnp.float32),
+            jax.ShapeDtypeStruct((d, 8), jnp.float32),
+            jax.ShapeDtypeStruct((3 * d, 1), jnp.float32),
+        ],
+        compiler_params=_compiler_params(interpret),
+        interpret=interpret,
+    )(xT, clsqkv[:, :, None], g, gcls[:, :, None], wqkv, wo, vecT, bqkvT)
+    dxT, dcls3, dwqkv, dwo, dvec, dbqkvT = outs
+    return dxT, dcls3[:, :, 0], dwqkv, dwo, dvec, dbqkvT
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
+def _mhsa_t(xT, clsqkv, wqkv, wo, vecT, bqkvT, num_heads, valid, eps,
+            sm_scale, nomax, interpret):
+    return _mhsa_t_call(xT, clsqkv, wqkv, wo, vecT, bqkvT,
+                        num_heads=num_heads, valid=valid, eps=eps,
+                        sm_scale=sm_scale, nomax=nomax, interpret=interpret)
+
+
+def _mhsa_t_fwd(xT, clsqkv, wqkv, wo, vecT, bqkvT, num_heads, valid, eps,
+                sm_scale, nomax, interpret):
+    out = _mhsa_t_call(xT, clsqkv, wqkv, wo, vecT, bqkvT,
+                       num_heads=num_heads, valid=valid, eps=eps,
+                       sm_scale=sm_scale, nomax=nomax, interpret=interpret)
+    return out, (xT, clsqkv, wqkv, wo, vecT, bqkvT)
+
+
+def _mhsa_t_vjp(num_heads, valid, eps, sm_scale, nomax, interpret, res, g):
+    xT, clsqkv, wqkv, wo, vecT, bqkvT = res
+    dout, dcls = g
+    dxT, dclsqkv, dwqkv, dwo, dvec, dbqkvT = _mhsa_t_bwd_call(
+        xT, clsqkv, dout, dcls.astype(xT.dtype), wqkv, wo, vecT, bqkvT,
+        num_heads=num_heads, valid=valid, eps=eps, sm_scale=sm_scale,
+        nomax=nomax, interpret=interpret)
+    return (dxT, dclsqkv.astype(clsqkv.dtype), dwqkv.astype(wqkv.dtype),
+            dwo.astype(wo.dtype), dvec.astype(vecT.dtype),
+            dbqkvT.astype(bqkvT.dtype))
+
+
+_mhsa_t.defvjp(_mhsa_t_fwd, _mhsa_t_vjp)
+
+
+# ---------------------------------------------------------------------------
 # MLP-T kernel: LN + fc1 + tanh-GELU + fc2 + residual
 # ---------------------------------------------------------------------------
 
@@ -251,6 +540,142 @@ def _mlp_t_call(xT, w1, w2, vecT, b1T, *, eps, interpret):
     )(xT, w1, w2, vecT, b1T)
 
 
+# ---------------------------------------------------------------------------
+# MLP-T backward kernel
+# ---------------------------------------------------------------------------
+
+
+_GELU_C = 0.7978845608028654  # sqrt(2/pi)
+_GELU_A = 0.044715
+
+
+def _mlp_t_bwd_kernel(xT_ref, g_ref, w1_ref, w2_ref, vecT_ref, b1T_ref,
+                      dx_ref, dw1_ref, dw2_ref, dvec_ref, db1_ref, *, eps):
+    """Backward of LN + fc1 + tanh-GELU + fc2 + residual. The (4D, LPAT)
+    hidden is recomputed in VMEM; dw1/dw2 accumulate in f32 across the grid."""
+    first = pl.program_id(0) == 0
+
+    @pl.when(first)
+    def _zero():
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+        dvec_ref[...] = jnp.zeros_like(dvec_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+
+    xT = xT_ref[0]
+    g = g_ref[0]
+    cdt = xT.dtype
+    d = xT.shape[0]
+
+    # ---- forward recompute ----
+    xf = xT.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=0, keepdims=True)
+    var = jnp.mean(xf * xf, axis=0, keepdims=True) - mean * mean
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = (xf - mean) * rstd
+    ln_s = vecT_ref[:, 0:1]
+    y = (xhat * ln_s + vecT_ref[:, 1:2]).astype(cdt)
+    h = jax.lax.dot_general(
+        w1_ref[...], y, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (4D, LPAT)
+    h = h + b1T_ref[...]
+    t = jnp.tanh(_GELU_C * (h + _GELU_A * h * h * h))
+    gact = (0.5 * h * (1.0 + t)).astype(cdt)
+
+    gf = g.astype(jnp.float32)
+    # dw2[m, d] = sum_l gact[m,l] g[d,l]
+    dw2_ref[...] += jax.lax.dot_general(
+        gact, g, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    # dgact[m, l] = sum_d w2[m, d] g[d, l]
+    dgact = jax.lax.dot_general(
+        w2_ref[...], g, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    # tanh-GELU derivative (f32)
+    dh = dgact * (0.5 * (1.0 + t)
+                  + 0.5 * h * (1.0 - t * t) * _GELU_C
+                  * (1.0 + 3.0 * _GELU_A * h * h))
+    db1_ref[...] += jnp.sum(dh, axis=1, keepdims=True)
+    dhb = dh.astype(cdt)
+    # dw1[d, m] = sum_l y[d,l] dh[m,l]
+    dw1_ref[...] += jax.lax.dot_general(
+        y, dhb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    # dy[d, l] = sum_m w1[d, m] dh[m, l]
+    dyf = jax.lax.dot_general(
+        w1_ref[...], dhb, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    zcol = jnp.zeros((d, 1), jnp.float32)
+    dvec_ref[...] += jnp.concatenate(
+        [
+            jnp.sum(dyf * xhat, axis=1, keepdims=True),  # dln2_scale
+            jnp.sum(dyf, axis=1, keepdims=True),         # dln2_bias
+            jnp.sum(gf, axis=1, keepdims=True),          # col 2 = db2
+            zcol, zcol, zcol, zcol, zcol,
+        ],
+        axis=1,
+    )
+    dxhat = dyf * ln_s
+    mean_dxhat = jnp.mean(dxhat, axis=0, keepdims=True)
+    mean_dxhat_xhat = jnp.mean(dxhat * xhat, axis=0, keepdims=True)
+    dx_ln = rstd * (dxhat - mean_dxhat - xhat * mean_dxhat_xhat)
+    dx_ref[0] = (gf + dx_ln).astype(dx_ref.dtype)
+
+
+def _mlp_t_bwd_call(xT, g, w1, w2, vecT, b1T, *, eps, interpret):
+    b, d, lpat = xT.shape
+    mlp_dim = w1.shape[1]
+    outs = pl.pallas_call(
+        functools.partial(_mlp_t_bwd_kernel, eps=eps),
+        grid=(b, 1, 1),
+        in_specs=[
+            pl.BlockSpec((1, d, lpat), lambda i, _, __: (i, 0, 0)),
+            pl.BlockSpec((1, d, lpat), lambda i, _, __: (i, 0, 0)),
+            pl.BlockSpec((d, mlp_dim), lambda i, _, __: (0, 0)),
+            pl.BlockSpec((mlp_dim, d), lambda i, _, __: (0, 0)),
+            pl.BlockSpec((d, 8), lambda i, _, __: (0, 0)),
+            pl.BlockSpec((mlp_dim, 1), lambda i, _, __: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, d, lpat), lambda i, _, __: (i, 0, 0)),
+            pl.BlockSpec((d, mlp_dim), lambda i, _, __: (0, 0)),
+            pl.BlockSpec((mlp_dim, d), lambda i, _, __: (0, 0)),
+            pl.BlockSpec((d, 8), lambda i, _, __: (0, 0)),
+            pl.BlockSpec((mlp_dim, 1), lambda i, _, __: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, d, lpat), xT.dtype),
+            jax.ShapeDtypeStruct((d, mlp_dim), jnp.float32),
+            jax.ShapeDtypeStruct((mlp_dim, d), jnp.float32),
+            jax.ShapeDtypeStruct((d, 8), jnp.float32),
+            jax.ShapeDtypeStruct((mlp_dim, 1), jnp.float32),
+        ],
+        compiler_params=_compiler_params(interpret),
+        interpret=interpret,
+    )(xT, g, w1, w2, vecT, b1T)
+    return outs
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _mlp_t(xT, w1, w2, vecT, b1T, eps, interpret):
+    return _mlp_t_call(xT, w1, w2, vecT, b1T, eps=eps, interpret=interpret)
+
+
+def _mlp_t_fwd(xT, w1, w2, vecT, b1T, eps, interpret):
+    out = _mlp_t_call(xT, w1, w2, vecT, b1T, eps=eps, interpret=interpret)
+    return out, (xT, w1, w2, vecT, b1T)
+
+
+def _mlp_t_vjp(eps, interpret, res, g):
+    xT, w1, w2, vecT, b1T = res
+    dxT, dw1, dw2, dvec, db1 = _mlp_t_bwd_call(
+        xT, g, w1, w2, vecT, b1T, eps=eps, interpret=interpret)
+    return (dxT, dw1.astype(w1.dtype), dw2.astype(w2.dtype),
+            dvec.astype(vecT.dtype), db1.astype(b1T.dtype))
+
+
+_mlp_t.defvjp(_mlp_t_fwd, _mlp_t_vjp)
+
+
 def _compiler_params(interpret):
     if interpret:
         return None
@@ -287,9 +712,9 @@ def _tblock_impl(xT, cls, wqkv, bqkv, wo, bo, ln1s, ln1b, w1, b1, w2, b2,
     bqkvT = bqkv.astype(jnp.float32)[:, None]  # (3D, 1)
 
     outT, ocls = _shard_over_batch(
-        functools.partial(
-            _mhsa_t_call, num_heads=num_heads, valid=valid, eps=eps,
-            sm_scale=sm_scale, nomax=nomax, interpret=interpret),
+        lambda x_, cq, w3, w4, vv, bb: _mhsa_t(
+            x_, cq, w3, w4, vv, bb, num_heads, valid, eps, sm_scale, nomax,
+            interpret),
         xT, clsqkv, wqkv.astype(cdt), wo.astype(cdt), vecT_attn, bqkvT,
         extra_batched=1, n_outs=2,
     )
@@ -307,7 +732,7 @@ def _tblock_impl(xT, cls, wqkv, bqkv, wo, bo, ln1s, ln1b, w1, b1, w2, b2,
         axis=1).astype(jnp.float32)
     b1T = b1.astype(jnp.float32)[:, None]
     outT = _shard_over_batch(
-        functools.partial(_mlp_t_call, eps=eps, interpret=interpret),
+        lambda x_, a, b_, vv, bb: _mlp_t(x_, a, b_, vv, bb, eps, interpret),
         outT, w1.astype(cdt), w2.astype(cdt), vecT_mlp, b1T,
     )
     return outT, cls
@@ -342,33 +767,6 @@ def _tblock_reference(xT, cls, wqkv, bqkv, wo, bo, ln1s, ln1b, w1, b1, w2,
     return jnp.swapaxes(x[:, 1:, :], 1, 2), x[:, 0, :]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(14, 15, 16, 17, 18))
-def _tblock(xT, cls, wqkv, bqkv, wo, bo, ln1s, ln1b, w1, b1, w2, b2, ln2s,
-            ln2b, num_heads, valid, eps, nomax, interpret):
-    return _tblock_impl(xT, cls, wqkv, bqkv, wo, bo, ln1s, ln1b, w1, b1, w2,
-                        b2, ln2s, ln2b, num_heads, valid, eps, nomax, interpret)
-
-
-def _tblock_fwd(xT, cls, wqkv, bqkv, wo, bo, ln1s, ln1b, w1, b1, w2, b2,
-                ln2s, ln2b, num_heads, valid, eps, nomax, interpret):
-    out = _tblock_impl(xT, cls, wqkv, bqkv, wo, bo, ln1s, ln1b, w1, b1, w2,
-                       b2, ln2s, ln2b, num_heads, valid, eps, nomax, interpret)
-    return out, (xT, cls, wqkv, bqkv, wo, bo, ln1s, ln1b, w1, b1, w2, b2,
-                 ln2s, ln2b)
-
-
-def _tblock_bwd(num_heads, valid, eps, nomax, interpret, res, g):
-    _, vjp = jax.vjp(
-        lambda *args: _tblock_reference(*args, num_heads=num_heads,
-                                        valid=valid, eps=eps),
-        *res,
-    )
-    return vjp(g)
-
-
-_tblock.defvjp(_tblock_fwd, _tblock_bwd)
-
-
 def fused_encoder_tblock(
     xT: jax.Array,
     cls: jax.Array,
@@ -390,8 +788,12 @@ def fused_encoder_tblock(
     xT: (B, D, LPAT) patch tokens, LPAT a multiple of 128 with `valid` real
     columns; cls: (B, D) the [cls] token rows. wqkv: (D, 3D) = concat of
     query/key/value kernels; w1/w2: MLP kernels. Returns (xT', cls').
+
+    Differentiable: both Pallas kernels carry fused Pallas backwards
+    (custom VJPs on _mhsa_t/_mlp_t); the cls row side paths are plain XLA
+    and differentiate via autodiff.
     """
-    return _tblock(
+    return _tblock_impl(
         xT, cls, wqkv, bqkv, wo, bo, ln1_scale, ln1_bias, w1, b1, w2, b2,
         ln2_scale, ln2_bias, num_heads, valid, eps, nomax, interpret)
 

