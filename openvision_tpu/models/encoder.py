@@ -409,6 +409,100 @@ class Encoder(nn.Module):
     param_dtype: Dtype = jnp.float32
     use_dense_general: bool = False
     decode: bool = False
+    pipe_microbatches: int = 0  # 0 = auto (2 x pipe stages) when pipe > 1
+
+    def _pipe_eligible(self, x, deterministic) -> bool:
+        """GPipe pipelining over the `pipe` mesh axis applies when the mesh
+        has pipe > 1 dividing the depth, the blocks are pure functions of
+        their own params (no per-layer drop-path schedule, no active
+        dropout rngs, no KV-cache), and the attention impl doesn't open its
+        own shard_map (the fused paths do — nested shard_map is illegal)."""
+        from openvision_tpu.parallel import active_mesh
+
+        mesh = active_mesh()
+        return (
+            mesh is not None
+            and mesh.shape.get("pipe", 1) > 1
+            and self.depth % mesh.shape["pipe"] == 0
+            and isinstance(x, jax.Array)
+            and x.ndim == 3
+            and self.attn_impl in ("xla", "scan", "flash")
+            and self.drop_path == 0.0
+            and not self.decode
+            and (deterministic or self.dropout == 0.0)
+        )
+
+    def _block_fields(self) -> dict:
+        return dict(
+            num_heads=self.num_heads,
+            mlp_dim=self.mlp_dim,
+            dropout=self.dropout,
+            drop_path=0.0,
+            init_values=self.init_values,
+            init_style=self.init_style,
+            depth=self.depth,
+            causal=self.causal,
+            prefix_len=self.prefix_len,
+            attn_impl=self.attn_impl,
+            chunk=self.chunk,
+            scan_mlp=self.scan_mlp,
+            fast_gelu=self.fast_gelu,
+            nomax_softmax=self.nomax_softmax,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            use_dense_general=self.use_dense_general,
+            decode=False,
+        )
+
+    def _pipelined(self, x, deterministic):
+        """Runs the block stack through ops/pipeline_parallel.pipeline_apply.
+
+        Params, names, and INIT RNG DERIVATION are exactly the sequential
+        path's (the blocks are created as ordinary `encoderblock_i` child
+        modules during init and only their param subtrees are read back at
+        apply time), so checkpoints AND seeds are interchangeable with
+        pipe=1; the per-step stack + reshard onto the `pipe` axis is
+        GSPMD's. Beyond-reference capability (SURVEY §2.4 lists PP as
+        absent upstream)."""
+        from openvision_tpu.ops.pipeline_parallel import pipeline_apply
+        from openvision_tpu.parallel import active_mesh, unbox
+
+        mesh = active_mesh()
+
+        if self.is_initializing():
+            # create the standard child modules (identical rng folding to
+            # the sequential path) by running the stack sequentially
+            for i in range(self.depth):
+                x = EncoderBlock(
+                    **self._block_fields(), name=f"encoderblock_{i}"
+                )(x, deterministic)
+            return x
+
+        block = EncoderBlock(**self._block_fields(), parent=None)
+        layers = [
+            unbox(self.get_variable("params", f"encoderblock_{i}"))
+            for i in range(self.depth)
+        ]
+
+        def block_fn(prm, h):
+            return block.apply({"params": prm}, h, deterministic)
+
+        if self.remat_policy != "none":
+            block_fn = jax.checkpoint(
+                block_fn, policy=_remat_policy(self.remat_policy),
+                prevent_cse=True)
+
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+        # each microbatch must still split over the data axes, so
+        # m <= B / (data*fsdp) and B % (m * dp) == 0
+        dp = mesh.shape.get("data", 1) * mesh.shape.get("fsdp", 1)
+        m = self.pipe_microbatches or 2 * mesh.shape["pipe"]
+        m = max(1, min(m, x.shape[0] // dp))
+        while x.shape[0] % (m * dp):
+            m -= 1
+        return pipeline_apply(
+            block_fn, stacked, x.astype(self.dtype), mesh,
+            num_microbatches=m)
 
     def _fused_t_eligible(self, x, deterministic) -> bool:
         """Transposed-stream fusion needs the plain CLIP-vision-encode shape:
@@ -437,6 +531,8 @@ class Encoder(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        if self._pipe_eligible(x, deterministic):
+            return self._pipelined(x, deterministic)
         dpr = np.linspace(0.0, self.drop_path, self.depth)
 
         attn_impl = self.attn_impl
