@@ -24,7 +24,13 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-BATCH_AXES = ("data", "fsdp", "tensor")
+# The loss's shard_map batch view matches the towers' activation sharding
+# (batch over data+fsdp, replicated over tensor). Including `tensor` here
+# makes the zimg/ztxt cotangents come back sharded over all three axes and
+# forces GSPMD into involuntary full rematerialization where they meet the
+# towers' (data, fsdp)-sharded activations (dryrun spmd_partitioner warnings);
+# the all_gather moves the same total bytes either way.
+BATCH_AXES = ("data", "fsdp")
 
 
 def _pair_loss_global(zimg: jax.Array, ztxt: jax.Array, t: jax.Array):

@@ -140,16 +140,28 @@ class TextDecoder(nn.Module):
         ni, _, di = image_embeds.shape
         _, _, dt = text_embeds.shape
 
+        # Constrain the incoming token streams to the activation rules BEFORE
+        # the projection dots: raw inputs arrive batch-sharded over every mesh
+        # axis (BATCH_SPEC), and letting that sharding flow into a dot whose
+        # kernel rides the (fsdp/tensor) param rules makes GSPMD fall back to
+        # involuntary full rematerialization in the transpose (seen as
+        # spmd_partitioner.cc warnings around txt_decoder in the dryrun).
+        image_embeds = logical(image_embeds, ACT_BLD)
+        text_embeds = logical(text_embeds, ACT_BLD)
         image_embeds = nn.Dense(
             self.width,
             use_bias=False,
-            kernel_init=nn.initializers.normal(stddev=di**-0.5),
+            kernel_init=nn.with_logical_partitioning(
+                nn.initializers.normal(stddev=di**-0.5), (None, "embed")
+            ),
             name="image_projection_layer",
         )(image_embeds)
         text_embeds = nn.Dense(
             self.width,
             use_bias=False,
-            kernel_init=nn.initializers.normal(stddev=dt**-0.5),
+            kernel_init=nn.with_logical_partitioning(
+                nn.initializers.normal(stddev=dt**-0.5), (None, "embed")
+            ),
             name="text_projection_layer",
         )(text_embeds)
 

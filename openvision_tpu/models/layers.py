@@ -23,7 +23,13 @@ Dtype = Any
 
 # Logical activation sharding for (batch, length, embed) activations.
 ACT_BLD = ("activation_batch", "activation_length", "activation_embed")
-ACT_BD = ("activation_batch", "activation_embed")
+# Pooled (batch, embed) vectors: keep the embed dim REPLICATED. These are
+# tiny (B, D) tensors right before heads whose kernels ride the
+# (embed->fsdp, vocab->tensor) param rules; tensor-sharding their embed dim
+# forces GSPMD into involuntary full rematerialization in the head/projection
+# transposes (spmd_partitioner.cc warnings in the multi-chip dryrun), and the
+# losses all_gather them anyway.
+ACT_BD = ("activation_batch", None)
 ACT_BLHD = (
     "activation_batch",
     "activation_length",
