@@ -39,7 +39,22 @@ ACT_BLHD = (
 
 
 def logical(x: jax.Array, names) -> jax.Array:
-    return nn.with_logical_constraint(x, names)
+    """Logical-axes activation sharding constraint.
+
+    flax's with_logical_constraint silently no-ops unless a legacy global
+    mesh context is active or a mesh is passed explicitly — so the active
+    mesh (openvision_tpu.parallel.use_mesh) is forwarded here. Skipped
+    inside shard_map-manual regions (PP stages, fused TP kernels), where a
+    NamedSharding constraint over manual axes is illegal; there the
+    enclosing shard_map specs already pin the layout."""
+    from openvision_tpu.parallel import active_mesh
+
+    mesh = active_mesh()
+    if mesh is None:
+        return nn.with_logical_constraint(x, names)
+    if jax.sharding.get_abstract_mesh()._any_axis_manual:
+        return x
+    return nn.with_logical_constraint(x, names, mesh=mesh)
 
 
 def posemb_sincos_2d(

@@ -103,7 +103,16 @@ class TextTransformer(nn.Module):
             table = embedding(jnp.arange(self.vocab_size))
             x = text.astype(jnp.float32) @ table
         else:
-            x = embedding(text.astype(jnp.int32))
+            # Reshard the (tiny, int32) token ids onto the activation batch
+            # axes BEFORE the table gather: ids arrive batch-sharded over
+            # every mesh axis (BATCH_SPEC) and a gather whose indices are
+            # 8-way batch-sharded forces GSPMD into involuntary full
+            # rematerialization when its (B, L, D) output meets the
+            # (data, fsdp)-batch ACT_BLD stream. Moving the ids costs ~KB;
+            # moving the embedded stream costs a full remat.
+            x = embedding(
+                logical(text.astype(jnp.int32), ("activation_batch", None))
+            )
         _, l, d = x.shape
 
         x = logical(x, ACT_BLD)

@@ -305,6 +305,12 @@ class ViT(nn.Module):
             pooled = MAPHead(num_heads=self.num_heads, mlp_dim=self.mlp_dim)(x)
         elif self.pool_type == "gap":
             pooled = jnp.mean(x if self.ignore_cls else x[:, 1:], axis=1)
+            # Pin the pooled (B, D) vector to the activation-batch sharding
+            # BEFORE the LN: left unannotated, GSPMD prefers an 8-way batch
+            # split for the feature-reduction LN, and the mismatched
+            # cotangent then forces involuntary full rematerialization in
+            # the head transpose (multi-chip dryrun spmd warnings).
+            pooled = logical(pooled, ACT_BD)
             pooled = layer_norm(self.dtype, self.param_dtype, name="encoder_norm")(
                 pooled
             )

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import optax
 from flax import linen as nn
-from jax.sharding import Mesh
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from openvision_tpu import losses, optim
 from openvision_tpu.models import clip as clip_mod
@@ -111,6 +111,22 @@ def make_update_fn(
     cpu_uint8 = config.get("cpu_unit8", False)
 
     def update_fn(train_state, batch, rng):
+        # Tiny non-image fields (token ids, masks) arrive 8-way batch-sharded
+        # (BATCH_SPEC in_shardings) but are consumed by (data, fsdp)-batch
+        # activations; reshard them HERE, directly on the input leaves, so the
+        # transition is a clean same-dim coarsening. Left to propagation,
+        # Shardy manufactures a token-dim-sharded intermediate and the
+        # partitioner falls back to involuntary full rematerialization.
+        batch = {
+            k: (
+                v
+                if k == "image"
+                else jax.lax.with_sharding_constraint(
+                    v, NamedSharding(mesh, P(("data", "fsdp")))
+                )
+            )
+            for k, v in batch.items()
+        }
         images = batch["image"]
         if cpu_uint8:
             images = normalize_uint8(images)
@@ -200,7 +216,12 @@ def jit_update_fn(update_fn, state_sharding, mesh: Mesh):
     from openvision_tpu.parallel import use_mesh
 
     def traced(train_state, batch, rng):
-        with use_mesh(mesh):
+        # logical_axis_rules must be active during TRACING too: without it
+        # every nn.with_logical_constraint in the model resolves to a no-op,
+        # GSPMD is left to propagate activation shardings from the params
+        # alone, and the mismatches surface as involuntary-full-remat
+        # warnings (and extra collectives) in the multi-chip step.
+        with use_mesh(mesh), logical_axis_rules():
             return update_fn(train_state, batch, rng)
 
     data_sh = batch_sharding(mesh)
