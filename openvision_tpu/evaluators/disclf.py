@@ -46,6 +46,8 @@ class Evaluator:
         source=None,
         num_workers: int = 0,
         multi_label_key: str = "",
+        int8: bool = False,
+        int8_calibration: int = 64,
         **unused,
     ):
         self.model = model
@@ -54,6 +56,12 @@ class Evaluator:
         self.batch_size = batch_size
         self.num_workers = num_workers
         self.multi_label_key = multi_label_key
+        # int8 serving-accuracy mode: embeds IMAGES through the W8A8 path
+        # (serving/quant.py) instead of the bf16 tower — static activation
+        # scales calibrated on the first `int8_calibration` eval images
+        # (0 = per-token dynamic). Text/classifier embedding stays bf16.
+        self.int8 = int8
+        self.int8_calibration = int8_calibration
         import_pp_modules()
         self.pp_img_string = pp_img
         self.pp_txt = build_pp_fn(pp_txt) if pp_txt else None
@@ -94,8 +102,48 @@ class Evaluator:
         zimg, _, _ = self.model.apply({"params": params}, image, None, train=False)
         return zimg
 
+    def _vit_geometry(self) -> dict:
+        """Image-tower geometry for the int8 encode, from the model config
+        (variant table + explicit overrides)."""
+        from openvision_tpu.models import vit as vit_mod
+
+        icfg = dict(self.model.image or {})
+        geom = dict(vit_mod.decode_variant(icfg.get("variant")))
+        geom.update({k: icfg[k] for k in ("depth", "num_heads", "patch_size")
+                     if k in icfg})
+        if icfg.get("pool_type", "gap") != "gap":
+            raise ValueError("int8 disclf supports gap-pooled ViTs only")
+        ps = geom["patch_size"]
+        return dict(
+            patch_size=ps[0] if isinstance(ps, (tuple, list)) else int(ps),
+            num_heads=geom["num_heads"],
+            depth=geom["depth"],
+            posemb=icfg.get("posemb", "sincos2d"),
+        )
+
+    def _int8_state(self, params, calib_images):
+        from openvision_tpu.serving import quant
+
+        geom = self._vit_geometry()
+        qp = jax.jit(quant.quantize_vit_params)(params["img"])
+        scales = None
+        if self.int8_calibration > 0 and len(calib_images):
+            scales = quant.calibrate_vit(
+                qp, jnp.asarray(calib_images[: self.int8_calibration]), **geom
+            )
+
+        def count(image, labels, mask, class_embs):
+            zimg = quant.quantized_encode(
+                qp, image, **geom, act_scales=scales)
+            return self._count_tail(zimg, labels, mask, class_embs)
+
+        return jax.jit(count)
+
     def _count_impl(self, params, image, labels, mask, class_embs):
         zimg = self._embed_image_impl(params, image)
+        return self._count_tail(zimg, labels, mask, class_embs)
+
+    def _count_tail(self, zimg, labels, mask, class_embs):
         logits = jnp.dot(zimg, class_embs.T)
         pred = jnp.argmax(logits, axis=-1)
         if labels.ndim == 2:
@@ -166,18 +214,27 @@ class Evaluator:
         # accumulate ON DEVICE: no per-batch host sync (the reference's
         # async_delay early-stop pattern, discriminative_classifier.py:355)
         counts = []
+        int8_count = None
         for batch in it:
             label_key = (
                 self.multi_label_key
                 if self.multi_label_key and self.multi_label_key in batch
                 else "label"
             )
+            images = np.asarray(batch["image"], np.float32)
             dev = local_batch_to_global(
-                {"image": np.asarray(batch["image"], np.float32),
+                {"image": images,
                  "label": np.asarray(batch[label_key], np.int32),
                  "mask": np.asarray(batch["_mask"], np.float32)},
                 self.mesh,
             )
+            if self.int8:
+                if int8_count is None:
+                    int8_count = self._int8_state(params, images)
+                counts.append(int8_count(
+                    dev["image"], dev["label"], dev["mask"], class_embs
+                ))
+                continue
             counts.append(self._count(
                 params, dev["image"], dev["label"], dev["mask"], class_embs
             ))

@@ -30,12 +30,20 @@ def _quant_w(kernel) -> tuple[jax.Array, jax.Array]:
     return q, scale[0]  # (in, out) int8, (out,) f32
 
 
-def _quant_a(x: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Per-row (token) dynamic symmetric int8 quantization."""
-    amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
-    scale = jnp.where(amax == 0, 1.0, amax / 127.0)
+def _quant_a(
+    x: jax.Array, scale: jax.Array | None = None
+) -> tuple[jax.Array, jax.Array]:
+    """Symmetric int8 activation quantization.
+
+    `scale=None`: per-row (token) DYNAMIC scales — most accurate, pays a
+    per-token abs-max reduce at serve time. `scale=<scalar>`: STATIC
+    per-tensor scale from `calibrate_vit` — the reduce disappears from the
+    serving program; outliers beyond the calibration range saturate."""
+    if scale is None:
+        amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+        scale = jnp.where(amax == 0, 1.0, amax / 127.0)
     q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
-    return q, scale.astype(jnp.float32)
+    return q, jnp.asarray(scale, jnp.float32)
 
 
 def _qdense(xq, x_scale, wq, w_scale, bias=None):
@@ -99,11 +107,28 @@ def _ln(x, p, eps=1e-6):
     return (xf - mean) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
 
 
-def _block(x, qblk, num_heads, fast_gelu):
+_ACT_SITES = ("attn_in", "attn_out", "mlp_in", "mlp_hid")
+
+
+def _site_scale(scales, name):
+    return None if scales is None else scales[name]
+
+
+def _amax_scale(x) -> jax.Array:
+    m = jnp.max(jnp.abs(x.astype(jnp.float32)))
+    return jnp.where(m == 0, 1.0, m / 127.0)
+
+
+def _block(x, qblk, num_heads, fast_gelu, scales=None, stats=None):
+    """One int8 encoder block. `scales`: optional static per-tensor
+    activation scales ({site: scalar}); `stats`: optional dict collecting
+    per-site calibration abs-maxes (running max across batches)."""
     b, l, d = x.shape
     hd = d // num_heads
     y = _ln(x, qblk["ln0"])
-    yq, ys = _quant_a(y)
+    if stats is not None:
+        stats["attn_in"] = jnp.maximum(stats.get("attn_in", 0.0), _amax_scale(y))
+    yq, ys = _quant_a(y, _site_scale(scales, "attn_in"))
 
     def proj(name):
         p = qblk[name]
@@ -115,16 +140,23 @@ def _block(x, qblk, num_heads, fast_gelu):
     s = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.bfloat16), k.astype(jnp.bfloat16))
     p_att = jax.nn.softmax(s.astype(jnp.float32), -1).astype(jnp.bfloat16)
     o = jnp.einsum("bhqk,bkhd->bqhd", p_att, v.astype(jnp.bfloat16)).reshape(b, l, d)
-    oq, os_ = _quant_a(o.astype(jnp.float32))
+    o = o.astype(jnp.float32)
+    if stats is not None:
+        stats["attn_out"] = jnp.maximum(stats.get("attn_out", 0.0), _amax_scale(o))
+    oq, os_ = _quant_a(o, _site_scale(scales, "attn_out"))
     po = qblk["out"]
     x = x + _qdense(oq, os_, po["q"], po["s"], po["b"]).astype(x.dtype)
 
     y = _ln(x, qblk["ln1"])
-    yq, ys = _quant_a(y)
+    if stats is not None:
+        stats["mlp_in"] = jnp.maximum(stats.get("mlp_in", 0.0), _amax_scale(y))
+    yq, ys = _quant_a(y, _site_scale(scales, "mlp_in"))
     m0 = qblk["mlp0"]
     h = _qdense(yq, ys, m0["q"], m0["s"], m0["b"])
     h = jax.nn.gelu(h, approximate=fast_gelu)
-    hq, hs = _quant_a(h)
+    if stats is not None:
+        stats["mlp_hid"] = jnp.maximum(stats.get("mlp_hid", 0.0), _amax_scale(h))
+    hq, hs = _quant_a(h, _site_scale(scales, "mlp_hid"))
     m1 = qblk["mlp1"]
     x = x + _qdense(hq, hs, m1["q"], m1["s"], m1["b"]).astype(x.dtype)
     return x
@@ -139,8 +171,13 @@ def quantized_encode(
     depth: int,
     posemb: str = "sincos2d",
     fast_gelu: bool = True,
+    act_scales: dict | None = None,
+    _stats: dict | None = None,
 ) -> jax.Array:
-    """W8A8 ViT encode: image (B, H, W, 3) → (B, out_dim) embeddings."""
+    """W8A8 ViT encode: image (B, H, W, 3) → (B, out_dim) embeddings.
+
+    `act_scales` (from `calibrate_vit`) switches activation quantization
+    from per-token dynamic to static per-tensor scales."""
     fp = qparams["_fp"]
     kernel = jnp.asarray(fp["embedding"]["kernel"], jnp.bfloat16)
     x = jax.lax.conv_general_dilated(
@@ -161,15 +198,59 @@ def quantized_encode(
     x = (x + pe).astype(jnp.bfloat16)
 
     for i in range(depth):
-        x = _block(x, qparams["Transformer"][f"encoderblock_{i}"], num_heads,
-                   fast_gelu)
+        bname = f"encoderblock_{i}"
+        bscales = None if act_scales is None else act_scales["Transformer"][bname]
+        bstats = None
+        if _stats is not None:
+            bstats = _stats.setdefault("Transformer", {}).setdefault(bname, {})
+        x = _block(x, qparams["Transformer"][bname], num_heads, fast_gelu,
+                   scales=bscales, stats=bstats)
 
     pooled = jnp.mean(x[:, 1:], axis=1)
     pooled = _ln(pooled, fp["encoder_norm"])
     head = qparams["head"]
-    pq, ps = _quant_a(pooled)
+    if _stats is not None:
+        _stats["head_in"] = jnp.maximum(
+            _stats.get("head_in", 0.0), _amax_scale(pooled))
+    pq, ps = _quant_a(
+        pooled, None if act_scales is None else act_scales["head_in"])
     z = _qdense(pq, ps, head["q"], head["s"], head.get("b"))
     return z / (jnp.linalg.norm(z, axis=-1, keepdims=True) + 1e-8)
+
+
+def calibrate_vit(
+    qparams: dict,
+    images: jax.Array,
+    *,
+    patch_size: int,
+    num_heads: int,
+    depth: int,
+    posemb: str = "sincos2d",
+    fast_gelu: bool = True,
+    batch: int = 32,
+) -> dict:
+    """Static per-tensor activation scales from a calibration set.
+
+    Runs the int8 encode in dynamic mode over `images` (in `batch`-sized
+    chunks) recording each quantization site's abs-max; returns the
+    {Transformer: {encoderblock_i: {attn_in, attn_out, mlp_in, mlp_hid}},
+    head_in} scale tree for `quantized_encode(act_scales=...)`. Serving
+    then needs no per-token reduce; inputs outside the calibration range
+    saturate at ±127."""
+
+    @jax.jit
+    def one(imgs):
+        stats: dict = {}
+        quantized_encode(
+            qparams, imgs, patch_size=patch_size, num_heads=num_heads,
+            depth=depth, posemb=posemb, fast_gelu=fast_gelu, _stats=stats)
+        return stats
+
+    agg = None
+    for i in range(0, images.shape[0], batch):
+        stats = jax.device_get(one(images[i : i + batch]))
+        agg = stats if agg is None else jax.tree.map(max, agg, stats)
+    return jax.tree.map(jnp.float32, agg)
 
 
 # ---------------------------------------------------------------------------

