@@ -373,6 +373,25 @@ def start_input_pipeline(loader, mesh, *, prefetch: int = 1) -> Iterator[dict]:
         yield item
 
 
+def _shard_fd(cache: dict[int, int], shards: Sequence[str], shard: int) -> int:
+    """Per-process fd for a shard, for use with os.pread.
+
+    Positioned reads (pread) are atomic, so a single fd is safe under
+    grain's intra-worker prefetch threads — unlike a shared file object,
+    whose seek+read pair races (observed as protobuf DecodeError at 10k
+    records). A dict race at open worst-case opens a duplicate fd, which
+    the loser closes.
+    """
+    fd = cache.get(shard)
+    if fd is None:
+        fd = os.open(shards[shard], os.O_RDONLY)
+        prior = cache.setdefault(shard, fd)
+        if prior != fd:
+            os.close(fd)
+            fd = prior
+    return fd
+
+
 class WebdatasetTarSource(grain.RandomAccessDataSource):
     """Random-access reader over webdataset-style tar shards.
 
@@ -395,7 +414,7 @@ class WebdatasetTarSource(grain.RandomAccessDataSource):
                 groups.setdefault(key, {})[ext.lower()] = (offset, size)
             for key in sorted(groups):
                 self._index.append((si, groups[key]))
-        self._handles: dict[int, Any] = {}
+        self._fds: dict[int, int] = {}
 
     @staticmethod
     def _scan(path):
@@ -418,21 +437,22 @@ class WebdatasetTarSource(grain.RandomAccessDataSource):
     def __len__(self):
         return len(self._index)
 
-    def _file(self, shard: int):
-        # one handle per shard per process (grain workers each re-open)
-        f = self._handles.get(shard)
-        if f is None or f.closed:
-            f = open(self._shards[shard], "rb")
-            self._handles[shard] = f
-        return f
+    def _fd(self, shard: int) -> int:
+        # One fd per shard per process; reads go through os.pread, which is
+        # an atomic positioned read — grain's intra-worker prefetch THREADS
+        # share this source, and a seek+read pair would race (observed as
+        # corrupt records at 10k scale, docs/PERF_NOTES.md).
+        return _shard_fd(self._fds, self._shards, shard)
+
+    def __getstate__(self):
+        return {**self.__dict__, "_fds": {}}
 
     def __getitem__(self, i: int):
         shard, members = self._index[i]
-        f = self._file(shard)
+        fd = self._fd(shard)
         out: dict[str, Any] = {}
         for ext, (offset, size) in members.items():
-            f.seek(offset)
-            raw = f.read(size)
+            raw = os.pread(fd, size, offset)
             if ext in ("jpg", "jpeg", "png", "webp"):
                 out["jpg"] = raw
             elif ext == "txt":
@@ -511,7 +531,7 @@ class TfdsDirectorySource(grain.RandomAccessDataSource):
                     f.seek(length + 4, 1)  # payload + payload crc
         if sub is not None:
             self._index = self._index[sub]
-        self._handles: dict[int, Any] = {}
+        self._fds: dict[int, int] = {}
         self._label_names = _tfds_label_names(data_dir)
 
     def __len__(self):
@@ -521,20 +541,15 @@ class TfdsDirectorySource(grain.RandomAccessDataSource):
     def label_names(self):
         return self._label_names
 
-    def _file(self, shard: int):
-        f = self._handles.get(shard)
-        if f is None or f.closed:
-            f = open(self._shards[shard], "rb")
-            self._handles[shard] = f
-        return f
+    def __getstate__(self):
+        return {**self.__dict__, "_fds": {}}
 
     def __getitem__(self, i: int):
         from tensorflow.core.example import example_pb2
 
         shard, offset, size = self._index[i]
-        f = self._file(shard)
-        f.seek(offset)
-        ex = example_pb2.Example.FromString(f.read(size))
+        fd = _shard_fd(self._fds, self._shards, shard)
+        ex = example_pb2.Example.FromString(os.pread(fd, size, offset))
         out: dict[str, Any] = {}
         for name, feat in ex.features.feature.items():
             kind = feat.WhichOneof("kind")
