@@ -1,4 +1,4 @@
-"""Checkpointing: Orbax (primary) + legacy flat-npz import/export.
+"""Checkpointing: Orbax (primary) + legacy flat-npz and tensorstore import.
 
 Capability parity with reference src/helpers/utils.py:
 - Orbax CheckpointManager, async, StandardSave/StandardRestore over
@@ -6,6 +6,9 @@ Capability parity with reference src/helpers/utils.py:
   format, so published OpenVision checkpoints restore directly.
 - flat-name npz save with atomic rename (utils.py:693-719) and load with
   bfloat16-as-void recovery (utils.py:126-200, 681).
+- legacy tensorstore/zarr checkpoint READER (utils.py:983-1138
+  save_checkpoint_ts/tsload) — the reference's third coexisting format;
+  we read it (so old runs restore) but never write it.
 - params-only restore for finetune init (`ft_from`).
 """
 
@@ -13,6 +16,7 @@ from __future__ import annotations
 
 import io
 import os
+import re
 from typing import Any, Optional
 
 import jax
@@ -78,7 +82,23 @@ def restore_params(
     inference (`ft_from`, reference main_clip.py:549-575). The checkpoint may
     also carry an optimizer state we know nothing about; the abstract tree for
     those extra subtrees is reconstructed from the on-disk metadata.
+
+    Legacy tensorstore/zarr checkpoint directories (and `foo` paths with a
+    sibling `foo-LAST` pointer) are detected and routed to the zarr reader,
+    so all three reference formats load through one entry point.
     """
+    if _is_legacy_ts(directory):
+        tree = load_legacy_ts(directory)
+        params = tree.get("params", tree)
+        if abstract_params is not None:
+            params = jax.tree.map(
+                lambda a, v: jax.device_put(
+                    np.asarray(v).astype(a.dtype), a.sharding
+                ),
+                abstract_params,
+                params,
+            )
+        return params
     mngr = create_checkpoint_manager(directory, async_save=False)
     step = mngr.latest_step() if step is None else step
     assert step is not None, f"no checkpoint found in {directory}"
@@ -91,6 +111,62 @@ def restore_params(
     restored = mngr.restore(step, args=ocp.args.StandardRestore(abstract))
     mngr.close()
     return restored["params"]
+
+
+# ---------------------------------------------------------------------------
+# Legacy tensorstore/zarr format (read-only)
+# ---------------------------------------------------------------------------
+
+
+def _is_legacy_ts(directory: str) -> bool:
+    """A reference `save_checkpoint_ts` directory: flattened `~`-joined
+    array names, each a zarr directory, or a base path with a `-LAST`
+    step pointer next to it."""
+    if os.path.exists(directory + "-LAST"):
+        return True
+    if not os.path.isdir(directory):
+        return False
+    for d in os.listdir(directory):
+        if "~" in d and os.path.exists(os.path.join(directory, d, ".zarray")):
+            return True
+    return False
+
+
+def load_legacy_ts(path: str, regex: Optional[str] = None) -> Any:
+    """Loads the reference's tensorstore/zarr checkpoint format to host.
+
+    The reference's third coexisting format (src/helpers/utils.py:983-1138):
+    `save_checkpoint_ts` writes one zarr array per pytree leaf into
+    `{path}-{step:09d}`, each named by its flattened tree path with
+    "/" -> "~" (the serializer appends a "~value" suffix to most leaves —
+    tsload's `new_name + '~value'` quirk, utils.py:1130-1134), and points
+    a sibling `{path}-LAST` text file at the newest complete step.
+
+    Reads via tensorstore (already present as an Orbax dependency); we
+    never write this format — new checkpoints are Orbax.
+    """
+    import tensorstore as ts_lib
+
+    if os.path.exists(path + "-LAST"):
+        with open(path + "-LAST") as f:
+            path = f"{path}-{f.read().strip()}"
+    pat = re.compile(regex) if regex else None
+    names: list[str] = []
+    arrays: list[np.ndarray] = []
+    for entry in sorted(os.listdir(path)):
+        adir = os.path.join(path, entry)
+        if not os.path.exists(os.path.join(adir, ".zarray")):
+            continue
+        name = entry[: -len("~value")] if entry.endswith("~value") else entry
+        name = name.replace("~", "/")
+        if pat is not None and not pat.match(name):
+            continue
+        spec = {"driver": "zarr", "kvstore": {"driver": "file", "path": adir}}
+        arrays.append(ts_lib.open(spec, open=True).result().read().result())
+        names.append(name)
+    if not names:
+        raise FileNotFoundError(f"no zarr arrays found in {path}")
+    return recover_tree(names, arrays)
 
 
 # ---------------------------------------------------------------------------
