@@ -172,12 +172,17 @@ def quantized_encode(
     posemb: str = "sincos2d",
     fast_gelu: bool = True,
     act_scales: dict | None = None,
-    _stats: dict | None = None,
-) -> jax.Array:
+    return_stats: bool = False,
+):
     """W8A8 ViT encode: image (B, H, W, 3) → (B, out_dim) embeddings.
 
     `act_scales` (from `calibrate_vit`) switches activation quantization
-    from per-token dynamic to static per-tensor scales."""
+    from per-token dynamic to static per-tensor scales. `return_stats=True`
+    additionally returns the per-site calibration abs-max scale tree.
+
+    The blocks run as ONE lax.scan over stacked per-block tensors, not a
+    depth-unrolled Python loop: program size stays constant in depth (a
+    24-block unrolled int8 ViT-L exceeds practical program-size limits)."""
     fp = qparams["_fp"]
     kernel = jnp.asarray(fp["embedding"]["kernel"], jnp.bfloat16)
     x = jax.lax.conv_general_dilated(
@@ -197,25 +202,49 @@ def quantized_encode(
         pe = jnp.asarray(fp["pos_embedding"])
     x = (x + pe).astype(jnp.bfloat16)
 
-    for i in range(depth):
-        bname = f"encoderblock_{i}"
-        bscales = None if act_scales is None else act_scales["Transformer"][bname]
-        bstats = None
-        if _stats is not None:
-            bstats = _stats.setdefault("Transformer", {}).setdefault(bname, {})
-        x = _block(x, qparams["Transformer"][bname], num_heads, fast_gelu,
-                   scales=bscales, stats=bstats)
+    names = [f"encoderblock_{i}" for i in range(depth)]
+    stacked = jax.tree.map(
+        lambda *xs: jnp.stack(xs), *[qparams["Transformer"][n] for n in names]
+    )
+
+    if act_scales is None:
+
+        def blk(x, qblk):
+            stats: dict = {}
+            x = _block(x, qblk, num_heads, fast_gelu,
+                       stats=stats if return_stats else None)
+            return x, stats
+
+        x, seq_stats = jax.lax.scan(blk, x, stacked)
+    else:
+        sscales = jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[act_scales["Transformer"][n] for n in names],
+        )
+
+        def blk(x, t):
+            qblk, sc = t
+            return _block(x, qblk, num_heads, fast_gelu, scales=sc), {}
+
+        x, seq_stats = jax.lax.scan(blk, x, (stacked, sscales))
 
     pooled = jnp.mean(x[:, 1:], axis=1)
     pooled = _ln(pooled, fp["encoder_norm"])
     head = qparams["head"]
-    if _stats is not None:
-        _stats["head_in"] = jnp.maximum(
-            _stats.get("head_in", 0.0), _amax_scale(pooled))
     pq, ps = _quant_a(
         pooled, None if act_scales is None else act_scales["head_in"])
     z = _qdense(pq, ps, head["q"], head["s"], head.get("b"))
-    return z / (jnp.linalg.norm(z, axis=-1, keepdims=True) + 1e-8)
+    z = z / (jnp.linalg.norm(z, axis=-1, keepdims=True) + 1e-8)
+    if not return_stats:
+        return z
+    stats = {
+        "Transformer": {
+            n: jax.tree.map(lambda s: s[i], seq_stats)
+            for i, n in enumerate(names)
+        },
+        "head_in": _amax_scale(pooled),
+    }
+    return z, stats
 
 
 def calibrate_vit(
@@ -240,10 +269,10 @@ def calibrate_vit(
 
     @jax.jit
     def one(imgs):
-        stats: dict = {}
-        quantized_encode(
+        _, stats = quantized_encode(
             qparams, imgs, patch_size=patch_size, num_heads=num_heads,
-            depth=depth, posemb=posemb, fast_gelu=fast_gelu, _stats=stats)
+            depth=depth, posemb=posemb, fast_gelu=fast_gelu,
+            return_stats=True)
         return stats
 
     agg = None
