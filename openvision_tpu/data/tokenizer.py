@@ -161,7 +161,11 @@ class WordPieceTokenizer:
             # Python str.lower applies the context-dependent final-sigma
             # rule; the per-character native table cannot, so route those.
             if not any(c in text for c in CONTEXT_SENSITIVE):
-                return self._native.encode(text)
+                ids = self._native.encode(text)
+                # None = result overflowed the native buffer (very long
+                # text); fall through to Python so lengths never truncate.
+                if ids is not None:
+                    return ids
         return self._encode_py(text)
 
     def _encode_py(self, text: str) -> List[int]:

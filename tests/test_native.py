@@ -200,3 +200,16 @@ def test_sources_use_native_indexer(tmp_path):
     for i in range(4):
         a, b = src_native[i], src_py[i]
         assert a["jpg"] == b["jpg"] and a["txt"] == b["txt"]
+
+
+def test_wordpiece_long_text_falls_back_to_python():
+    """Texts whose id count exceeds the native output buffer must tokenize
+    via the Python path, not return the native overflow sentinel (or a
+    silently truncated list)."""
+    from openvision_tpu.data.tokenizer import get_tokenizer
+
+    tok = get_tokenizer("assets/bert_base_vocab_bos_eos.txt")
+    long_text = "hello world " * 5000  # 10000 ids > the 8192 native buffer
+    ids = tok.encode(long_text)
+    assert ids is not None
+    assert ids == tok._encode_py(long_text)
