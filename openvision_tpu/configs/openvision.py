@@ -44,11 +44,15 @@ def get_config(arg: str | None = None) -> ConfigDict:
         vocab_path="assets/bert_base_vocab_bos_eos.txt",
         txt_decoder_name="L",
         vocab_size=32000,
-        # "fused" = Pallas fwd+bwd block kernels (the training pick,
-        # 117.9 img/s L/14@224 bs32); "fused_t" = transposed-stream flagship
-        # (inference/serving, 986 img/s encode); "ring" = seq-parallel;
-        # "xla"/"scan"/"flash" as in ops/. See docs/PERF_NOTES.md.
-        attn_impl="xla",
+        # "auto" resolves per tower below: the image tower takes "fused"
+        # (Pallas fwd+bwd block kernels) for long sequences (res >= 336 →
+        # 577+ tokens, +19% train step vs xla — docs/PERF_NOTES.md
+        # "Long-sequence training ladder") and "xla" otherwise (a wash at
+        # 224); text towers (<=80 tokens) always resolve "xla". Explicit
+        # picks: "fused_t" = transposed-stream flagship (serving, 997
+        # img/s encode), "ring" = seq-parallel, "xla"/"scan"/"flash" as
+        # in ops/.
+        attn_impl="auto",
         dtype="float32",
         param_dtype="float32",
     )
@@ -110,6 +114,16 @@ def get_config(arg: str | None = None) -> ConfigDict:
     c.pp_modules = ["ops_general", "ops_image", "ops_text", "bert_ops"]
 
     # ----- model -----
+    # "auto" attention: fused Pallas blocks for long image sequences
+    # (res >= 336), xla otherwise; text/decoder towers are short-sequence
+    # → xla. Measured crossover in docs/PERF_NOTES.md ("Long-sequence
+    # training ladder").
+    img_attn = arg.attn_impl
+    txt_attn = arg.attn_impl
+    if arg.attn_impl == "auto":
+        img_attn = "fused" if arg.res >= 336 else "xla"
+        txt_attn = "xla"
+
     c.model_name = "clip"
     c.model = ConfigDict()
     c.model.image = ConfigDict(
@@ -119,7 +133,7 @@ def get_config(arg: str | None = None) -> ConfigDict:
             pool_type="gap",
             remat_policy=arg.remat,
             mask_ratio=arg.mask_ratio,
-            attn_impl=arg.attn_impl,
+            attn_impl=img_attn,
             # tanh GELU deviates ≤5e-6 output cosine from exact; free speed
             # under bf16 compute (see docs/PERF_NOTES.md).
             fast_gelu=arg.dtype == "bfloat16",
@@ -136,7 +150,7 @@ def get_config(arg: str | None = None) -> ConfigDict:
             pool_type="last",
             causal=False,
             remat_policy=arg.remat,
-            attn_impl=arg.attn_impl,
+            attn_impl=txt_attn,
             head_zeroinit=False,
             dtype=arg.dtype,
             param_dtype=arg.param_dtype,

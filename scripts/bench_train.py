@@ -20,7 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def bench_impl(attn_impl: str, steps: int = 3, batch: int = 32) -> float:
+def bench_impl(attn_impl: str, steps: int = 3, batch: int = 32,
+               res: int = 224) -> float:
     from openvision_tpu.configs import openvision as cfg_mod
     from openvision_tpu.parallel import create_mesh
     from openvision_tpu.train import step as step_mod
@@ -28,12 +29,12 @@ def bench_impl(attn_impl: str, steps: int = 3, batch: int = 32) -> float:
     mesh = create_mesh(data=jax.device_count())
 
     c = cfg_mod.get_config(
-        f"res=224,img=L/14,txt_name=B,txt_decoder_name=B,token_len=80,"
+        f"res={res},img=L/14,txt_name=B,txt_decoder_name=B,token_len=80,"
         f"output_token_len=128,remat=minimal,attn_impl={attn_impl},"
         f"dtype=bfloat16,param_dtype=bfloat16"
     )
     c.input.batch_size = batch
-    c.init_shapes = [(batch, 224, 224, 3), (2 * batch, 80)]
+    c.init_shapes = [(batch, res, res, 3), (2 * batch, 80)]
     c.lr = 1e-3
     c.schedule = [(".*", dict(decay_type="cosine", warmup_steps=1))]
 
@@ -46,7 +47,7 @@ def bench_impl(attn_impl: str, steps: int = 3, batch: int = 32) -> float:
     r = np.random.RandomState(0)
     batch_data = {
         "image": jnp.asarray(
-            r.randint(0, 255, (batch, 224, 224, 3)).astype(np.uint8)),
+            r.randint(0, 255, (batch, res, res, 3)).astype(np.uint8)),
         "labels1": jnp.asarray(r.randint(0, 30522, (batch, 80)), jnp.int32),
         "labels2": jnp.asarray(r.randint(0, 30522, (batch, 80)), jnp.int32),
         "autoreg_labels": jnp.asarray(
@@ -80,7 +81,12 @@ def _timed(fn, *args) -> float:
 
 
 if __name__ == "__main__":
+    # entries: "impl" or "impl:res" or "impl:res:batch", e.g. "flash:336:16"
     impls = sys.argv[1:] or ["fused_t", "fused"]
-    for impl in impls:
-        ips = bench_impl(impl)
-        print(f"{impl}: {ips:.1f} img/s/chip", flush=True)
+    for entry in impls:
+        parts = entry.split(":")
+        impl = parts[0]
+        res = int(parts[1]) if len(parts) > 1 else 224
+        batch = int(parts[2]) if len(parts) > 2 else 32
+        ips = bench_impl(impl, res=res, batch=batch)
+        print(f"{entry}: {ips:.1f} img/s/chip", flush=True)

@@ -19,9 +19,13 @@ FSDP="${FSDP:-2}"
 TENSOR="${TENSOR:-1}"
 REMAT="${REMAT:-full}"
 DTYPE="${DTYPE:-bfloat16}"              # bf16 compute, f32 params
+# "auto" resolves the image-tower attention per stage: xla at 84/224px,
+# fused Pallas blocks at >=336px (577+ tokens, +19% train step vs xla —
+# docs/PERF_NOTES.md "Long-sequence training ladder").
+ATTN="${ATTN:-auto}"
 
 CFG=openvision_tpu/configs/openvision.py
-COMMON="img=${IMG},txt_name=${TXT},txt_decoder_name=${DECODER},remat=${REMAT},dtype=${DTYPE},data_parallelism=${DATA_PARALLEL},fsdp_parallelism=${FSDP},tensor_parallelism=${TENSOR}"
+COMMON="img=${IMG},txt_name=${TXT},txt_decoder_name=${DECODER},remat=${REMAT},dtype=${DTYPE},attn_impl=${ATTN},data_parallelism=${DATA_PARALLEL},fsdp_parallelism=${FSDP},tensor_parallelism=${TENSOR}"
 
 run() { python -m openvision_tpu.train.trainer "$@"; }
 

@@ -46,3 +46,22 @@ def test_default_config_l14_eval_shape():
 def test_config_parallelism_args():
     c = cfg_mod.get_config("data_parallelism=64,fsdp_parallelism=4,tensor_parallelism=2")
     assert dict(c.sharding.mesh) == {"data": 64, "fsdp": 4, "tensor": 2, "seq": 1, "pipe": 1}
+
+
+def test_auto_attn_impl_resolution():
+    """attn_impl=auto: fused Pallas image attention at >=336px (577+
+    tokens, +19% train step vs xla), xla below; text towers always xla
+    (VERDICT r2 #8)."""
+    from openvision_tpu.configs import openvision as cfg_mod
+
+    hi = cfg_mod.get_config("res=336,img=L/14,runlocal=True")
+    assert hi.model.image.attn_impl == "fused"
+    assert hi.model.text.attn_impl == "xla"
+
+    lo = cfg_mod.get_config("res=224,img=L/14,runlocal=True")
+    assert lo.model.image.attn_impl == "xla"
+    assert lo.model.text.attn_impl == "xla"
+
+    # explicit pick still wins at any res
+    ex = cfg_mod.get_config("res=336,img=L/14,runlocal=True,attn_impl=flash")
+    assert ex.model.image.attn_impl == "flash"
