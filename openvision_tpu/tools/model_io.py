@@ -96,6 +96,47 @@ _DEFAULT_MEAN = (0.48145466, 0.4578275, 0.40821073)
 _DEFAULT_STD = (0.26862954, 0.26130258, 0.27577711)
 
 
+def resolve_model_dir(model_dir: str) -> str:
+    """Resolve an `hf-hub:org/name[@rev]` tag to a local snapshot dir.
+
+    Pull-side parity with the reference's vendored OpenCLIP factory
+    (reference src/convert_upload/open_clip/factory.py,
+    pretrained.py:655): tools accept either a local converted directory or
+    an HF Hub tag. Downloads only the files load_model reads, through the
+    standard HF cache, so repeat loads are offline-capable. Raises a clear
+    error when huggingface_hub is unavailable or there is no network.
+    """
+    if not model_dir.startswith("hf-hub:"):
+        return model_dir
+    ref = model_dir[len("hf-hub:"):]
+    repo_id, _, revision = ref.partition("@")
+    try:
+        from huggingface_hub import snapshot_download
+    except ImportError as e:
+        raise RuntimeError(
+            f"{model_dir!r} needs the huggingface_hub package; install it "
+            "or pass a local directory containing open_clip_config.json + "
+            "open_clip_pytorch_model.bin"
+        ) from e
+    try:
+        return snapshot_download(
+            repo_id,
+            revision=revision or None,
+            allow_patterns=[
+                "open_clip_config.json",
+                "open_clip_pytorch_model.bin",
+                "vocab.txt",
+                "tokenizer*",
+            ],
+        )
+    except Exception as e:
+        raise RuntimeError(
+            f"could not fetch {repo_id!r} from the HF Hub ({e}); if you "
+            "have the files locally, pass the directory instead of the "
+            "hf-hub: tag"
+        ) from e
+
+
 def load_model(
     model_dir: str,
     *,
@@ -104,7 +145,9 @@ def load_model(
     attn_impl: str = "xla",
     fast_gelu: bool = False,
 ) -> LoadedModel:
-    """Loads `open_clip_config.json` + `open_clip_pytorch_model.bin`."""
+    """Loads `open_clip_config.json` + `open_clip_pytorch_model.bin` from a
+    local directory or an `hf-hub:org/name` tag (resolve_model_dir)."""
+    model_dir = resolve_model_dir(model_dir)
     cfg_path = os.path.join(model_dir, "open_clip_config.json")
     with open(cfg_path) as f:
         cfg = json.load(f)

@@ -144,3 +144,26 @@ def test_model_io_fused_t_matches_xla(model_dir):
     zf = np.asarray(m_f.encode_image(img))
     cos = (zx * zf).sum(-1)
     assert cos.min() > 0.999, cos.min()
+
+
+def test_resolve_model_dir_passthrough_and_hf_tag(monkeypatch, tmp_path):
+    """Local paths pass through untouched; hf-hub: tags resolve through
+    snapshot_download (monkeypatched — no network) incl. @revision."""
+    from openvision_tpu.tools import model_io
+
+    assert model_io.resolve_model_dir("/some/dir") == "/some/dir"
+
+    calls = {}
+
+    def fake_snapshot(repo_id, revision=None, allow_patterns=None):
+        calls["repo_id"], calls["revision"] = repo_id, revision
+        return str(tmp_path)
+
+    import sys, types
+    fake_mod = types.SimpleNamespace(snapshot_download=fake_snapshot)
+    monkeypatch.setitem(sys.modules, "huggingface_hub", fake_mod)
+    out = model_io.resolve_model_dir("hf-hub:org/name@abc123")
+    assert out == str(tmp_path)
+    assert calls == {"repo_id": "org/name", "revision": "abc123"}
+    model_io.resolve_model_dir("hf-hub:org/name")
+    assert calls["revision"] is None
