@@ -42,3 +42,31 @@ def from_config(
             raise
         evaluators.append((name, evaluator, log_steps, prefix))
     return evaluators
+
+
+def device_norm_fn(spec: str):
+    """Device-side image normalization for evaluators.
+
+    Returns f(image)->image for a spec of "" (identity — pp already
+    normalized on the host), "vgg" (ImageNet mean/std, the trainer's
+    cpu_unit8 prologue, reference main_clip.py:413-418) or
+    "value_range(lo,hi)" (linear map from 0..255). Using it lets eval
+    batches cross host->device as uint8: 4x less transfer than f32.
+    """
+    import re
+
+    import jax.numpy as jnp
+
+    if not spec:
+        return lambda image: image
+    if spec == "vgg":
+        from openvision_tpu.train.step import normalize_uint8
+
+        return normalize_uint8
+    m = re.fullmatch(
+        r"value_range\(\s*(-?[\d.]+)\s*,\s*(-?[\d.]+)\s*\)", spec
+    )
+    if not m:
+        raise ValueError(f"unknown device_norm: {spec!r}")
+    lo, hi = float(m.group(1)), float(m.group(2))
+    return lambda image: image.astype(jnp.float32) * ((hi - lo) / 255.0) + lo

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from openvision_tpu.data import pipeline as pipe
+from openvision_tpu.evaluators import common as eval_common
 from openvision_tpu.data.pp import build_pp_fn, import_pp_modules
 from openvision_tpu.evaluators import prompts as prompt_lib
 from openvision_tpu.parallel import local_batch_to_global, replicated_sharding
@@ -48,6 +49,8 @@ class Evaluator:
         multi_label_key: str = "",
         int8: bool = False,
         int8_calibration: int = 64,
+        class_names=None,
+        device_norm: str = "",
         **unused,
     ):
         self.model = model
@@ -62,14 +65,26 @@ class Evaluator:
         # (0 = per-token dynamic). Text/classifier embedding stays bf16.
         self.int8 = int8
         self.int8_calibration = int8_calibration
+        # device_norm: move image normalization OUT of the host pp and into
+        # the jitted count program, so batches cross host->device as uint8
+        # (4x less transfer — the trainer's cpu_unit8 prologue, reference
+        # main_clip.py:413-418, applied to eval). "vgg" = ImageNet mean/std;
+        # "value_range(lo,hi)" = linear map from 0..255. Leave the matching
+        # normalize op OUT of pp_img when set.
+        self.device_norm = device_norm
+        self._apply_device_norm = eval_common.device_norm_fn(device_norm)
         import_pp_modules()
         self.pp_img_string = pp_img
         self.pp_txt = build_pp_fn(pp_txt) if pp_txt else None
 
-        self.class_names = prompt_lib.get_class_names(
-            self.dataset_name,
-            canonicalize=canonicalize,
-            first_class_name_only=first_class_name_only,
+        # `class_names` overrides the built-in sets for custom datasets
+        # (e.g. a data/prepare.py fixture's label.labels.txt names).
+        self.class_names = list(class_names) if class_names else (
+            prompt_lib.get_class_names(
+                self.dataset_name,
+                canonicalize=canonicalize,
+                first_class_name_only=first_class_name_only,
+            )
         )
         self.templates = prompt_lib.get_prompt_templates(prompt_templates)
 
@@ -128,19 +143,24 @@ class Evaluator:
         qp = jax.jit(quant.quantize_vit_params)(params["img"])
         scales = None
         if self.int8_calibration > 0 and len(calib_images):
-            scales = quant.calibrate_vit(
-                qp, jnp.asarray(calib_images[: self.int8_calibration]), **geom
-            )
+            calib = self._apply_device_norm(
+                jnp.asarray(calib_images[: self.int8_calibration]))
+            scales = quant.calibrate_vit(qp, calib, **geom)
 
-        def count(image, labels, mask, class_embs):
+        # qp rides as a jit ARGUMENT: closure-captured arrays embed in the
+        # program as constants, and ViT-L int8 weights exceed practical
+        # program-size limits (same rule as calibrate_vit).
+        def count(qp_, image, labels, mask, class_embs):
             zimg = quant.quantized_encode(
-                qp, image, **geom, act_scales=scales)
+                qp_, self._apply_device_norm(image), **geom,
+                act_scales=scales)
             return self._count_tail(zimg, labels, mask, class_embs)
 
-        return jax.jit(count)
+        jitted = jax.jit(count)
+        return lambda *a: jitted(qp, *a)
 
     def _count_impl(self, params, image, labels, mask, class_embs):
-        zimg = self._embed_image_impl(params, image)
+        zimg = self._embed_image_impl(params, self._apply_device_norm(image))
         return self._count_tail(zimg, labels, mask, class_embs)
 
     def _count_tail(self, zimg, labels, mask, class_embs):
@@ -155,7 +175,7 @@ class Evaluator:
             mask = mask * has_any.astype(jnp.float32)
         else:
             correct = (pred == labels).astype(jnp.float32)
-        return jnp.sum(correct * mask), jnp.sum(mask)
+        return jnp.sum(correct * mask), jnp.sum(mask), pred
 
     def _build_class_embeddings(self, params) -> jax.Array:
         """Per-class prompt-averaged normalized text embeddings.
@@ -203,7 +223,10 @@ class Evaluator:
             jnp.asarray(z), replicated_sharding(self.mesh)
         )
 
-    def run(self, train_state):
+    def run(self, train_state, return_preds: bool = False):
+        """Returns [(metric, value)]; with `return_preds`, also the per-image
+        argmax predictions and validity mask as flat np arrays (used by
+        scripts/eval_scale.py's bf16↔int8 prediction-agreement probe)."""
         params = train_state["params"]
         class_embs = self._build_class_embeddings(params)
 
@@ -221,7 +244,12 @@ class Evaluator:
                 if self.multi_label_key and self.multi_label_key in batch
                 else "label"
             )
-            images = np.asarray(batch["image"], np.float32)
+            # with device_norm, images stay uint8 across host->device (4x
+            # less transfer); normalization happens inside the jitted count
+            images = np.asarray(
+                batch["image"],
+                np.uint8 if self.device_norm else np.float32,
+            )
             dev = local_batch_to_global(
                 {"image": images,
                  "label": np.asarray(batch[label_key], np.int32),
@@ -233,11 +261,18 @@ class Evaluator:
                     int8_count = self._int8_state(params, images)
                 counts.append(int8_count(
                     dev["image"], dev["label"], dev["mask"], class_embs
-                ))
+                ) + (dev["mask"],))
                 continue
             counts.append(self._count(
                 params, dev["image"], dev["label"], dev["mask"], class_embs
-            ))
-        ncorrect = sum(float(jax.device_get(c)) for c, _ in counts)
-        ntotal = sum(float(jax.device_get(t)) for _, t in counts)
-        return [(f"{self.dataset_name}_accuracy", ncorrect / max(ntotal, 1.0))]
+            ) + (dev["mask"],))
+        ncorrect = sum(float(jax.device_get(c)) for c, _, _, _ in counts)
+        ntotal = sum(float(jax.device_get(t)) for _, t, _, _ in counts)
+        metrics = [(f"{self.dataset_name}_accuracy", ncorrect / max(ntotal, 1.0))]
+        if return_preds:
+            preds = np.concatenate(
+                [np.asarray(jax.device_get(p)).ravel() for _, _, p, _ in counts])
+            masks = np.concatenate(
+                [np.asarray(jax.device_get(m)).ravel() for _, _, _, m in counts])
+            return metrics, preds, masks
+        return metrics

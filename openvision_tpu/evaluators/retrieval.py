@@ -16,6 +16,7 @@ import numpy as np
 
 from openvision_tpu.data import pipeline as pipe
 from openvision_tpu.data.pp import build_pp_fn, import_pp_modules
+from openvision_tpu.evaluators import common as eval_common
 from openvision_tpu.parallel import local_batch_to_global, replicated_sharding
 
 RECALL_KS = (1, 5, 10)
@@ -53,6 +54,7 @@ class Evaluator:
         pp_txt="",
         batch_size: int = 256,
         source=None,
+        device_norm: str = "",
         **unused,
     ):
         self.model = model
@@ -63,6 +65,9 @@ class Evaluator:
         import_pp_modules()
         self.pp_img_string = pp_img
         self.pp_txt = build_pp_fn(pp_txt) if pp_txt else None
+        # device-side normalize: ship eval images uint8 (see common.py)
+        self.device_norm = device_norm
+        norm = eval_common.device_norm_fn(device_norm)
 
         if source is not None:
             self.source = source
@@ -82,7 +87,8 @@ class Evaluator:
             raise ValueError("retrieval evaluator needs `source` or npz `data_dir`")
 
         self._embed_img = jax.jit(
-            lambda p, im: self.model.apply({"params": p}, im, None, train=False)[0],
+            lambda p, im: self.model.apply(
+                {"params": p}, norm(im), None, train=False)[0],
             out_shardings=replicated_sharding(mesh),
         )
         self._embed_txt = jax.jit(
@@ -128,7 +134,11 @@ class Evaluator:
         outs, pending = [], None
         for batch in it:
             dev = local_batch_to_global(
-                np.asarray(batch["image"], np.float32), self.mesh
+                np.asarray(
+                    batch["image"],
+                    np.uint8 if self.device_norm else np.float32,
+                ),
+                self.mesh,
             )
             z = self._embed_img(params, dev)  # async dispatch
             if pending is not None:

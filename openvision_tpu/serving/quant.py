@@ -267,17 +267,21 @@ def calibrate_vit(
     then needs no per-token reduce; inputs outside the calibration range
     saturate at ±127."""
 
+    # qparams MUST be a jit argument, not a closure capture: closed-over
+    # arrays are embedded in the program as literal constants, and a ViT-L's
+    # int8 weights push the compile payload past practical program-size
+    # limits.
     @jax.jit
-    def one(imgs):
+    def one(qp, imgs):
         _, stats = quantized_encode(
-            qparams, imgs, patch_size=patch_size, num_heads=num_heads,
+            qp, imgs, patch_size=patch_size, num_heads=num_heads,
             depth=depth, posemb=posemb, fast_gelu=fast_gelu,
             return_stats=True)
         return stats
 
     agg = None
     for i in range(0, images.shape[0], batch):
-        stats = jax.device_get(one(images[i : i + batch]))
+        stats = jax.device_get(one(qparams, images[i : i + batch]))
         agg = stats if agg is None else jax.tree.map(max, agg, stats)
     return jax.tree.map(jnp.float32, agg)
 

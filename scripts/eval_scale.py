@@ -95,11 +95,20 @@ def main():
             )(jax.random.PRNGKey(0))["params"]
         )
 
+        # classify against the FIXTURE's own label names (chance = 1/classes)
+        # rather than the IN-1K set — random-init accuracy then sits at a
+        # meaningful baseline instead of ~1/1000.
+        with open(os.path.join(data_dir, "label.labels.txt")) as f:
+            fixture_names = [ln.strip() for ln in f if ln.strip()]
+
         kw = dict(
             dataset_names=("imagenet2012",),
+            class_names=fixture_names,
             data_dir=data_dir,
-            pp_img=f"decode|resize({args.res})|value_range(-1,1)"
-            "|keep('image','label')",
+            # normalization runs ON DEVICE (device_norm): batches cross the
+            # host->device boundary as uint8, 4x less transfer than f32
+            pp_img=f"decode|resize({args.res})|keep('image','label')",
+            device_norm="value_range(-1,1)",
             pp_txt=(
                 'my_eval_bert_tokenize(inkey="texts", max_len=80, '
                 'vocab_path="assets/bert_base_vocab_bos_eos.txt", '
@@ -110,18 +119,26 @@ def main():
             num_workers=args.workers,
         )
         result = {"n_images": args.n, "res": args.res, "img": args.img}
+        preds = {}
         for mode in ("bf16", "int8"):
             ev = disclf.Evaluator(
                 model, mesh, int8=(mode == "int8"), **kw
             )
             t0 = time.perf_counter()
-            ((_, acc),) = ev.run({"params": params})
+            ((_, acc),), p, m = ev.run({"params": params}, return_preds=True)
             dt = time.perf_counter() - t0
+            preds[mode] = p[m > 0]
             result[f"top1_{mode}"] = round(acc, 5)
             result[f"wall_s_{mode}"] = round(dt, 1)
             result[f"img_per_s_{mode}"] = round(args.n / dt, 1)
         result["top1_delta"] = round(
             abs(result["top1_bf16"] - result["top1_int8"]), 5
+        )
+        # the int8 accuracy budget that doesn't need trained weights: on how
+        # many images does W8A8 flip the argmax class vs the bf16 tower?
+        n = min(len(preds["bf16"]), len(preds["int8"]))
+        result["pred_agreement"] = round(
+            float(np.mean(preds["bf16"][:n] == preds["int8"][:n])), 5
         )
     print(json.dumps(result))
 

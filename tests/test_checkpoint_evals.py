@@ -131,3 +131,22 @@ def test_recall_at_k_exact():
     np.testing.assert_allclose(m["txt2img_recall@1"], 2 / 3)
     # img0's best text is txt0 (img0) ✓; img1's best is txt1 (img0) ✗ → 1/2
     np.testing.assert_allclose(m["img2txt_recall@1"], 1 / 2)
+
+
+def test_retrieval_device_norm_matches_host_pp(tiny):
+    """retrieval with device_norm (uint8 ship + on-device vgg normalize)
+    must produce identical recalls to host-side vgg_value_range pp."""
+    from openvision_tpu.evaluators import retrieval
+
+    model, params = tiny
+    mesh = create_mesh(data=8)
+    images = np.random.randint(0, 255, (6, 32, 32, 3), np.uint8)
+    caps = np.array(["a cat", "a dog", "a bird", "a fish", "a horse", "a cow"])
+    src = pipe.DictSource({"image": images, "captions": caps})
+    common = dict(pp_txt=_eval_pp_txt(), batch_size=8, source=src)
+    ev_host = retrieval.Evaluator(
+        model, mesh, pp_img="|vgg_value_range", **common)
+    ev_dev = retrieval.Evaluator(
+        model, mesh, pp_img="", device_norm="vgg", **common)
+    assert dict(ev_host.run({"params": params})) == dict(
+        ev_dev.run({"params": params}))

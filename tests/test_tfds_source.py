@@ -239,3 +239,44 @@ def test_tfds_source_subsplit_syntax(tfds_dir):
     src = pipe.TfdsDirectorySource(d, "validation[1:]")
     assert len(src) == n - 1
     assert src[0]["label"] == 1  # offset by the slice
+
+
+def test_disclf_device_norm_matches_host_pp():
+    """device_norm ships uint8 and normalizes on device; predictions must
+    match the host-side pp normalize exactly (same affine map, f32)."""
+    from openvision_tpu.evaluators import disclf
+
+    model, params = _tiny()
+    mesh = create_mesh(data=8)
+    images = np.random.randint(0, 255, (10, 32, 32, 3), np.uint8)
+    labels = np.random.randint(0, 1000, (10,))
+    src = pipe.DictSource({"image": images, "label": labels})
+    common = dict(pp_txt=_pp_txt(), batch_size=8,
+                  prompt_templates="none", source=src)
+    ev_host = disclf.Evaluator(
+        model, mesh, pp_img="|value_range(-1,1)", **common)
+    ev_dev = disclf.Evaluator(
+        model, mesh, pp_img="", device_norm="value_range(-1,1)", **common)
+    m_host, p_host, k_host = ev_host.run({"params": params}, return_preds=True)
+    m_dev, p_dev, k_dev = ev_dev.run({"params": params}, return_preds=True)
+    np.testing.assert_array_equal(p_host[k_host > 0], p_dev[k_dev > 0])
+    assert dict(m_host) == dict(m_dev)
+
+
+def test_disclf_custom_class_names():
+    """class_names overrides the built-in set; logits span len(class_names)."""
+    from openvision_tpu.evaluators import disclf
+
+    model, params = _tiny()
+    mesh = create_mesh(data=8)
+    images = np.random.randint(0, 255, (8, 32, 32, 3), np.uint8)
+    src = pipe.DictSource({
+        "image": images, "label": np.random.randint(0, 5, (8,)),
+    })
+    ev = disclf.Evaluator(
+        model, mesh, pp_img="|vgg_value_range", pp_txt=_pp_txt(),
+        batch_size=8, prompt_templates="none", source=src,
+        class_names=[f"class {i}" for i in range(5)],
+    )
+    _, preds, _ = ev.run({"params": params}, return_preds=True)
+    assert preds.max() < 5
