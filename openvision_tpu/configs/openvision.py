@@ -220,9 +220,13 @@ def get_config(arg: str | None = None) -> ConfigDict:
         f'my_eval_bert_tokenize(inkey="texts", max_len={arg.token_len}, '
         f'vocab_path="{arg.vocab_path}", add_bos=True, add_eos=True)'
     )
+    # normalization (vgg mean/std) runs ON DEVICE via device_norm so eval
+    # batches ship uint8 — 4x less host→device transfer, 2.5x measured
+    # end-to-end disclf speedup (docs/PERF_NOTES.md "Zero-shot eval at
+    # scale"). pp therefore stops after the crop.
     eval_img_pp = (
         f'|resize_small({arg.res}, method="bilinear", antialias=True)'
-        f"|central_crop({arg.res})|vgg_value_range"
+        f"|central_crop({arg.res})"
     )
     c.evals.disclf = ConfigDict(
         dict(
@@ -232,6 +236,7 @@ def get_config(arg: str | None = None) -> ConfigDict:
             data_dir="",
             pp_img=eval_img_pp,
             pp_txt=eval_tok,
+            device_norm="vgg",
             canonicalize=True,
             first_class_name_only=False,
             prefix="z/0shot/",
@@ -247,6 +252,7 @@ def get_config(arg: str | None = None) -> ConfigDict:
             txt_name=("captions", "text"),
             pp_img=eval_img_pp,
             pp_txt=eval_tok,
+            device_norm="vgg",
             log_steps=int(2000 // arg.batch_factor),
         )
     )
