@@ -53,6 +53,9 @@ def get_config(arg: str | None = None) -> ConfigDict:
         # img/s encode), "ring" = seq-parallel, "xla"/"scan"/"flash" as
         # in ops/.
         attn_impl="auto",
+        # chunk size for the head-fused caption cross-entropy (0 = build
+        # full logits and use plain softmax_xent)
+        cap_xent_chunk=16,
         dtype="float32",
         param_dtype="float32",
     )
@@ -166,14 +169,25 @@ def get_config(arg: str | None = None) -> ConfigDict:
             num_classes=arg.vocab_size,
             dtype=arg.dtype,
             param_dtype=arg.param_dtype,
-            remat_policy="none",
+            # follow the global remat pick: with "none" the decoder's
+            # (B, H, 465, 465) concat-fusion attention scores are saved
+            # for backward — 12 x 232 MB at bs64, the memory ceiling once
+            # the caption logits are head-fused
+            remat_policy=arg.remat,
             fusion_style="concat",
             causal=True,
             attn_impl="xla",
             num_learnable_tokens=arg.output_token_len,
             drop_token=0,
+            # head-fused caption loss: the (B, L, 32k) f32 logits tensor —
+            # the train step's single largest allocation — is never
+            # materialized; losses.linear_softmax_xent scans the head
+            # matmul over cap_xent_chunk-token chunks (numerics identical,
+            # tests/test_train_step.py).
+            return_prelogits=arg.cap_xent_chunk > 0,
         )
     )
+    c.cap_xent_chunk = arg.cap_xent_chunk
     c.model.temperature_init = 1 / 0.07
 
     if arg.use_sovit:

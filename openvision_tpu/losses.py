@@ -197,6 +197,57 @@ def softmax_xent(
     return nll
 
 
+def linear_softmax_xent(
+    *,
+    prelogits: jax.Array,
+    kernel: jax.Array,
+    labels: jax.Array,
+    mask: Optional[jax.Array] = None,
+    chunk: int = 16,
+):
+    """Caption cross-entropy FUSED with the vocab head.
+
+    Numerically identical to `softmax_xent(logits=Dense_f32(prelogits),
+    reduction=True)` but scans the head matmul + log-softmax over sequence
+    chunks, so the full (B, L, V) f32 logits tensor is never materialized —
+    at B=64, L=128, V=32k that tensor is a 1 GiB HLO temp (the single
+    largest allocation of the CoCa train step, measured: it OOMs bs64
+    L/14@224 on a 16 GB chip). Peak becomes B×chunk×V. `jax.checkpoint`
+    on the chunk body makes the backward recompute chunk logits instead of
+    saving them; d(kernel) accumulates across scan iterations.
+
+    prelogits: (B, L, D) decoder_norm output; kernel: (D, V) head kernel
+    (the decoder's `head` Dense, param path unchanged for checkpoint
+    parity); labels: (B, L) int; mask: (B, L).
+    """
+    b, l, d = prelogits.shape
+    if mask is None:
+        mask = jnp.ones((b, l), jnp.float32)
+    pad = (-l) % chunk
+    if pad:
+        prelogits = jnp.pad(prelogits, ((0, 0), (0, pad), (0, 0)))
+        labels = jnp.pad(labels, ((0, 0), (0, pad)))
+        mask = jnp.pad(mask, ((0, 0), (0, pad)))
+    n = (l + pad) // chunk
+    hs = prelogits.reshape(b, n, chunk, d).swapaxes(0, 1)
+    ls = labels.reshape(b, n, chunk).swapaxes(0, 1)
+    ms = mask.reshape(b, n, chunk).swapaxes(0, 1)
+    kernel_f32 = kernel.astype(jnp.float32)  # Dense(dtype=f32) semantics
+
+    @jax.checkpoint
+    def body(carry, xs):
+        h_c, l_c, m_c = xs
+        logits = jnp.einsum(
+            "bcd,dv->bcv", h_c.astype(jnp.float32), kernel_f32
+        )
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, l_c[..., None], axis=-1)[..., 0]
+        return carry + jnp.sum(nll * m_c), None
+
+    total, _ = jax.lax.scan(body, jnp.float32(0), (hs, ls, ms))
+    return total / (jnp.sum(mask) + 1e-8)
+
+
 def sigmoid_xent(*, logits, labels, reduction: bool = True):
     """Stable multi-label sigmoid cross-entropy."""
     log_p = jax.nn.log_sigmoid(logits)

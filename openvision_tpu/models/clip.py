@@ -90,8 +90,11 @@ class CLIPModel(nn.Module):
             if train:
                 # Training batches stack two text views; caption only view 1.
                 token_embs = token_embs[: token_embs.shape[0] // 2]
-            logits, _ = cap(image_embs, token_embs, train=train)
+            logits, cap_aux = cap(image_embs, token_embs, train=train)
             out["logits"] = logits
+            if "prelogits" in cap_aux:
+                # head-fused caption loss path (losses.linear_softmax_xent)
+                out["cap_prelogits"] = cap_aux["prelogits"]
 
         t = self.param(
             "t",

@@ -127,6 +127,10 @@ class TextDecoder(nn.Module):
     attn_impl: str = "xla"
     chunk: int = 128
     scan_mlp: bool = False
+    # skip the head matmul and expose decoder_norm output instead; the
+    # train step then computes the caption loss via the head-fused
+    # losses.linear_softmax_xent, never materializing (B, L, V) logits
+    return_prelogits: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     use_dense_general: bool = False
@@ -219,7 +223,7 @@ class TextDecoder(nn.Module):
             raise ValueError(f"Unknown fusion_style: {self.fusion_style!r}")
 
         x = nn.LayerNorm(name="decoder_norm")(x)
-        logits = nn.Dense(
+        head = nn.Dense(
             self.num_classes,
             use_bias=False,
             dtype=jnp.float32,
@@ -228,8 +232,16 @@ class TextDecoder(nn.Module):
                 nn.initializers.normal(stddev=self.width**-0.5), ("embed", "vocab")
             ),
             name="head",
-        )(x)
-        return logits, {}
+        )
+        if self.return_prelogits and train:
+            # training only: the loss fuses the head (linear_softmax_xent)
+            # so the full-sequence logits are never built. Touch the head
+            # on ONE position so its params exist regardless (the
+            # checkpoint tree must not depend on this flag). Inference
+            # (generate, eval probes) still gets real logits below.
+            _ = head(x[:, :1])
+            return None, {"prelogits": x}
+        return head(x), {}
 
 
 class _CrossAttnStack(nn.Module):

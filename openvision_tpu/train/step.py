@@ -108,6 +108,7 @@ def make_update_fn(
     loss_mode = "local" if config.get("local_loss", True) else "global"
     clip_w = config.get("clip_loss_weight", 1.0)
     cap_w = config.get("coca_caption_loss_weight", 2.0)
+    cap_chunk = config.get("cap_xent_chunk", 16)
     cpu_uint8 = config.get("cpu_unit8", False)
 
     def update_fn(train_state, batch, rng):
@@ -165,12 +166,32 @@ def make_update_fn(
                 l, l_extras = losses.bidirectional_contrastive_loss(
                     zimg, views, out["t"], mode=loss_mode, mesh=mesh
                 )
-                cap_l = losses.softmax_xent(
-                    logits=out["logits"],
-                    labels=batch["autoreg_labels"],
-                    mask=batch["cap_loss_mask"],
-                    reduction=True,
-                )
+                if out.get("cap_prelogits") is not None:
+                    # head-fused path: decoder returned prelogits; fuse the
+                    # vocab-head matmul into a chunked xent so the (B, L, V)
+                    # f32 logits temp never exists (losses.py docstring).
+                    # Cap the per-chunk temp at ~32Mi f32 elements (128 MB)
+                    # so large per-chip batches (e.g. 256 at 84px, the
+                    # pretrain recipe) shrink the chunk automatically.
+                    kernel = params["txt_decoder"]["head"]["kernel"]
+                    b = batch["autoreg_labels"].shape[0]
+                    chunk = max(
+                        1, min(cap_chunk, (32 << 20) // (b * kernel.shape[1]))
+                    )
+                    cap_l = losses.linear_softmax_xent(
+                        prelogits=out["cap_prelogits"],
+                        kernel=kernel,
+                        labels=batch["autoreg_labels"],
+                        mask=batch["cap_loss_mask"],
+                        chunk=chunk,
+                    )
+                else:
+                    cap_l = losses.softmax_xent(
+                        logits=out["logits"],
+                        labels=batch["autoreg_labels"],
+                        mask=batch["cap_loss_mask"],
+                        reduction=True,
+                    )
                 l_extras = dict(l_extras, clip_loss=l, caption_loss=cap_l)
                 l = clip_w * l + cap_w * cap_l
             else:

@@ -21,7 +21,7 @@ import numpy as np
 
 
 def bench_impl(attn_impl: str, steps: int = 3, batch: int = 32,
-               res: int = 224) -> float:
+               res: int = 224, remat: str = "minimal") -> float:
     from openvision_tpu.configs import openvision as cfg_mod
     from openvision_tpu.parallel import create_mesh
     from openvision_tpu.train import step as step_mod
@@ -30,7 +30,7 @@ def bench_impl(attn_impl: str, steps: int = 3, batch: int = 32,
 
     c = cfg_mod.get_config(
         f"res={res},img=L/14,txt_name=B,txt_decoder_name=B,token_len=80,"
-        f"output_token_len=128,remat=minimal,attn_impl={attn_impl},"
+        f"output_token_len=128,remat={remat},attn_impl={attn_impl},"
         f"dtype=bfloat16,param_dtype=bfloat16"
     )
     c.input.batch_size = batch
@@ -81,12 +81,13 @@ def _timed(fn, *args) -> float:
 
 
 if __name__ == "__main__":
-    # entries: "impl" or "impl:res" or "impl:res:batch", e.g. "flash:336:16"
+    # entries: "impl[:res[:batch[:remat]]]", e.g. "flash:336:16:full"
     impls = sys.argv[1:] or ["fused_t", "fused"]
     for entry in impls:
         parts = entry.split(":")
         impl = parts[0]
         res = int(parts[1]) if len(parts) > 1 else 224
         batch = int(parts[2]) if len(parts) > 2 else 32
-        ips = bench_impl(impl, res=res, batch=batch)
+        remat = parts[3] if len(parts) > 3 else "minimal"
+        ips = bench_impl(impl, res=res, batch=batch, remat=remat)
         print(f"{entry}: {ips:.1f} img/s/chip", flush=True)

@@ -191,9 +191,11 @@ def test_fused_coca_train_step_tp_matches_xla():
                     l, _ = losses.bidirectional_contrastive_loss(
                         zimg, [ztxt[:half], ztxt[half:]], out["t"],
                         mode="local", mesh=mesh)
-                    cap = losses.softmax_xent(
-                        logits=out["logits"], labels=batch["autoreg_labels"],
-                        mask=batch["cap_loss_mask"], reduction=True)
+                    cap = losses.linear_softmax_xent(
+                        prelogits=out["cap_prelogits"],
+                        kernel=params["txt_decoder"]["head"]["kernel"],
+                        labels=batch["autoreg_labels"],
+                        mask=batch["cap_loss_mask"])
                     return l + 2.0 * cap
 
                 return jax.value_and_grad(loss_fn)(train_state["params"])

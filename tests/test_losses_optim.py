@@ -181,3 +181,37 @@ def test_siglip_prefers_matched_pairs():
     l_match, _ = losses.siglip_loss(z, z, t, b, mode="global")
     l_shuf, _ = losses.siglip_loss(z, jnp.roll(z, 1, axis=0), t, b, mode="global")
     assert float(l_match) < float(l_shuf)
+
+
+def test_linear_softmax_xent_matches_unfused():
+    """Head-fused chunked caption xent == Dense(f32) + softmax_xent, for
+    values AND grads (wrt prelogits and head kernel), incl. a ragged
+    sequence length that needs padding."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    b, l, d, v = 4, 10, 16, 64  # l=10 with chunk=4 exercises padding
+    h = jnp.asarray(rng.randn(b, l, d), jnp.bfloat16)
+    k = jnp.asarray(rng.randn(d, v) * 0.1, jnp.float32)
+    labels = jnp.asarray(rng.randint(0, v, (b, l)), jnp.int32)
+    mask = jnp.asarray((rng.rand(b, l) > 0.3), jnp.float32)
+
+    def unfused(h, k):
+        logits = jnp.einsum(
+            "bld,dv->blv", h.astype(jnp.float32), k.astype(jnp.float32))
+        return losses.softmax_xent(
+            logits=logits, labels=labels, mask=mask, reduction=True)
+
+    def fused(h, k):
+        return losses.linear_softmax_xent(
+            prelogits=h, kernel=k, labels=labels, mask=mask, chunk=4)
+
+    lu, (ghu, gku) = jax.value_and_grad(unfused, argnums=(0, 1))(h, k)
+    lf, (ghf, gkf) = jax.value_and_grad(fused, argnums=(0, 1))(h, k)
+    np.testing.assert_allclose(np.asarray(lu), np.asarray(lf), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(ghu, np.float32), np.asarray(ghf, np.float32),
+        rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gku), np.asarray(gkf),
+                               rtol=1e-5, atol=1e-6)

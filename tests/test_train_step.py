@@ -103,3 +103,39 @@ def test_train_step_siglip_loss():
         losses_seen.append(float(meas["training_loss"]))
     assert np.isfinite(losses_seen).all()
     assert losses_seen[-1] < losses_seen[0]
+
+
+@pytest.mark.slow
+def test_cap_xent_chunk_matches_full_logits_step():
+    """One full train step with the head-fused chunked caption loss vs the
+    materialized-logits path: identical loss and updated params (the param
+    tree is identical too — return_prelogits must not change it)."""
+
+    def run(chunk):
+        c = _tiny_config()
+        c.cap_xent_chunk = chunk
+        c.model.text_decoder_config.return_prelogits = chunk > 0
+        mesh = create_mesh(data=8, fsdp=1, tensor=1)
+        model = step_mod.build_model(c)
+        state, sharding, tx, _ = step_mod.init_train_state(
+            c, model, mesh, jax.random.PRNGKey(0), total_steps=10
+        )
+        update = step_mod.jit_update_fn(
+            step_mod.make_update_fn(c, model, tx, mesh), sharding, mesh
+        )
+        batch = jax.device_put(_fake_batch(c), batch_sharding(mesh))
+        rng = jax.device_put(jax.random.PRNGKey(1), replicated_sharding(mesh))
+        state, meas = update(state, batch, rng)
+        return jax.device_get(state["params"]), float(meas["training_loss"])
+
+    p_fused, l_fused = run(4)
+    p_full, l_full = run(0)
+    np.testing.assert_allclose(l_fused, l_full, rtol=1e-5)
+    flat_a = jax.tree_util.tree_leaves_with_path(p_fused)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(p_full))
+    assert len(flat_a) == len(flat_b)
+    for path, leaf in flat_a:
+        np.testing.assert_allclose(
+            np.asarray(leaf, np.float32),
+            np.asarray(flat_b[path], np.float32),
+            rtol=2e-4, atol=1e-6, err_msg=str(path))
