@@ -172,9 +172,14 @@ def make_update_fn(
                     # f32 logits temp never exists (losses.py docstring).
                     # Cap the per-chunk temp at ~32Mi f32 elements (128 MB)
                     # so large per-chip batches (e.g. 256 at 84px, the
-                    # pretrain recipe) shrink the chunk automatically.
+                    # pretrain recipe) shrink the chunk automatically. The
+                    # temp's batch dim is sharded over (data, fsdp), so size
+                    # the cap on per-chip rows, not the global batch.
                     kernel = params["txt_decoder"]["head"]["kernel"]
-                    b = batch["autoreg_labels"].shape[0]
+                    n_batch_shards = mesh.shape.get("data", 1) * mesh.shape.get(
+                        "fsdp", 1
+                    )
+                    b = -(-batch["autoreg_labels"].shape[0] // n_batch_shards)
                     chunk = max(
                         1, min(cap_chunk, (32 << 20) // (b * kernel.shape[1]))
                     )
