@@ -410,6 +410,7 @@ class Encoder(nn.Module):
     use_dense_general: bool = False
     decode: bool = False
     pipe_microbatches: int = 0  # 0 = auto (2 x pipe stages) when pipe > 1
+    pipe_interleave: int = 0  # chunks/stage; 0 = auto (2 when depth allows)
 
     def _pipe_eligible(self, x, deterministic) -> bool:
         """GPipe pipelining over the `pipe` mesh axis applies when the mesh
@@ -496,13 +497,20 @@ class Encoder(nn.Module):
         # each microbatch must still split over the data axes, so
         # m <= B / (data*fsdp) and B % (m * dp) == 0
         dp = mesh.shape.get("data", 1) * mesh.shape.get("fsdp", 1)
-        m = self.pipe_microbatches or 2 * mesh.shape["pipe"]
+        n_stages = mesh.shape["pipe"]
+        m = self.pipe_microbatches or 2 * n_stages
         m = max(1, min(m, x.shape[0] // dp))
         while x.shape[0] % (m * dp):
             m -= 1
+        # interleaved schedule (v chunks per stage) shrinks the fill/drain
+        # bubble (P-1)/(M+P-1) → (P-1)/(vM+P-1); auto picks v=2 when the
+        # depth allows it, and any v falls back to GPipe when it doesn't
+        v = self.pipe_interleave or 2
+        if self.depth % (n_stages * v):
+            v = 1
         return pipeline_apply(
             block_fn, stacked, x.astype(self.dtype), mesh,
-            num_microbatches=m)
+            num_microbatches=m, interleave=v)
 
     def _fused_t_eligible(self, x, deterministic) -> bool:
         """Transposed-stream fusion needs the plain CLIP-vision-encode shape:

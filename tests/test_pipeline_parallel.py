@@ -41,27 +41,32 @@ def _sequential(params, x):
     return x
 
 
-@pytest.mark.parametrize("mesh_kw,m", [
-    (dict(data=1, pipe=8), 4),   # pure pipeline, 8 stages
-    (dict(data=2, pipe=4), 8),   # PP x DP
-    (dict(data=4, fsdp=2, pipe=1), 2),  # degenerate single stage
+@pytest.mark.parametrize("mesh_kw,m,v,b", [
+    (dict(data=1, pipe=8), 4, 1, 16),   # pure pipeline, 8 stages
+    (dict(data=2, pipe=4), 8, 1, 16),   # PP x DP
+    (dict(data=4, fsdp=2, pipe=1), 2, 1, 16),  # degenerate single stage
+    (dict(data=2, pipe=4), 4, 2, 16),   # interleaved, 2 chunks/stage
+    (dict(data=4, pipe=2), 8, 4, 32),   # interleaved, 4 chunks/stage, + DP
+    (dict(data=2, pipe=4), 6, 2, 24),   # M not a multiple of P (partial wave)
+    (dict(data=4, pipe=2), 3, 4, 24),   # fully circular (c=1), partial wave
 ])
-def test_pipeline_matches_sequential(mesh_kw, m):
+def test_pipeline_matches_sequential(mesh_kw, m, v, b):
     params = _params()
-    x = jax.random.normal(jax.random.PRNGKey(9), (16, 6, D))
+    x = jax.random.normal(jax.random.PRNGKey(9), (b, 6, D))
     ref = _sequential(params, x)
 
     mesh = create_mesh(**mesh_kw)
     stacked = stack_layer_params(params, DEPTH)
     out = jax.jit(
         lambda s, x: pipeline_apply(
-            _block_fn, s, x, mesh, num_microbatches=m)
+            _block_fn, s, x, mesh, num_microbatches=m, interleave=v)
     )(stacked, x)
     np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
                                atol=1e-5, rtol=1e-5)
 
 
-def test_pipeline_grads_match_sequential():
+@pytest.mark.parametrize("v", [1, 2])
+def test_pipeline_grads_match_sequential(v):
     params = _params()
     x = jax.random.normal(jax.random.PRNGKey(9), (8, 4, D))
     mesh = create_mesh(data=2, pipe=4)
@@ -71,7 +76,8 @@ def test_pipeline_grads_match_sequential():
         return jnp.sum(_sequential(params, x) ** 2)
 
     def loss_pp(stacked, x):
-        out = pipeline_apply(_block_fn, stacked, x, mesh, num_microbatches=4)
+        out = pipeline_apply(_block_fn, stacked, x, mesh,
+                             num_microbatches=4, interleave=v)
         return jnp.sum(out ** 2)
 
     g_seq = jax.grad(loss_seq)(params, x)
