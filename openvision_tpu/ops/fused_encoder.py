@@ -170,13 +170,15 @@ def _mhsa_t_kernel(
 
 
 def _mhsa_t_call(xT, clsqkv, wqkv, wo, vecT, bqkvT, *, num_heads, valid,
-                 eps, sm_scale, nomax, interpret):
+                 eps, sm_scale, nomax, interpret, nimg=None):
     b, d, lpat = xT.shape
     head_dim = d // num_heads
     hchunk = _pick_hchunk(num_heads, lpat + 8, lpat)
     # 2 images per step widens every projection dot to 2·LPAT lanes
-    # (measured +2.6% on the sub-kernel at ViT-L shapes)
-    nimg = 2 if b % 2 == 0 else 1
+    # (measured +2.6% on the sub-kernel at ViT-L shapes; 4 regresses — the
+    # f32 qkvT and attention loop buffers crowd VMEM)
+    if nimg is None:
+        nimg = 2 if b % 2 == 0 else 1
     out, ocls = pl.pallas_call(
         functools.partial(
             _mhsa_t_kernel, num_heads=num_heads, head_dim=head_dim,
