@@ -117,14 +117,17 @@ def get_config(arg: str | None = None) -> ConfigDict:
     c.pp_modules = ["ops_general", "ops_image", "ops_text", "bert_ops"]
 
     # ----- model -----
-    # "auto" attention: fused Pallas blocks for long image sequences
-    # (res >= 336), xla otherwise; text/decoder towers are short-sequence
-    # → xla. Measured crossover in docs/PERF_NOTES.md ("Long-sequence
-    # training ladder").
+    # "auto" attention: fused Pallas blocks for the image tower whenever the
+    # sequence is long (res >= 336: +19% over xla at 577 tokens) OR remat is
+    # off (the fused fwd+bwd kernels beat XLA's own fused backward when
+    # nothing is rematerialized: 159.7 vs 150.1 img/s L/14@224 bs32); under
+    # remat=minimal at 224 they tie, so xla keeps the simpler HLO. Text and
+    # decoder towers are short-sequence → xla. Measurements in
+    # docs/PERF_NOTES.md ("Training-step ladder, round 3").
     img_attn = arg.attn_impl
     txt_attn = arg.attn_impl
     if arg.attn_impl == "auto":
-        img_attn = "fused" if arg.res >= 336 else "xla"
+        img_attn = "fused" if (arg.res >= 336 or arg.remat == "none") else "xla"
         txt_attn = "xla"
 
     c.model_name = "clip"

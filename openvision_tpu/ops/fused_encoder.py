@@ -499,11 +499,17 @@ _mhsa_t.defvjp(_mhsa_t_fwd, _mhsa_t_vjp)
 # ---------------------------------------------------------------------------
 
 
-def _mlp_t_kernel(xT_ref, w1_ref, w2_ref, vecT_ref, b1T_ref, o_ref, *, eps):
-    """vecT_ref (D, 8) cols: 0=ln2_scale 1=ln2_bias 2=b2; b1T_ref (4D, 1)."""
-    xT = xT_ref[0]
+def _mlp_t_kernel(xT_ref, w1_ref, w2_ref, vecT_ref, b1T_ref, o_ref, *,
+                  eps, nimg=1):
+    """vecT_ref (D, 8) cols: 0=ln2_scale 1=ln2_bias 2=b2; b1T_ref (4D, 1).
+
+    `nimg` images' lanes run CONCATENATED through LN and both dots
+    (nimg·LPAT columns — wider MXU tiles, same trick as the MHSA-T kernel).
+    """
+    lpat = xT_ref.shape[2]
+    xT = (xT_ref[0] if nimg == 1 else
+          jnp.concatenate([xT_ref[i] for i in range(nimg)], axis=1))
     cdt = xT.dtype
-    d = xT.shape[0]
     xf = xT.astype(jnp.float32)
     mean = jnp.mean(xf, axis=0, keepdims=True)
     var = jnp.mean(xf * xf, axis=0, keepdims=True) - mean * mean
@@ -511,31 +517,36 @@ def _mlp_t_kernel(xT_ref, w1_ref, w2_ref, vecT_ref, b1T_ref, o_ref, *, eps):
     y = (y * vecT_ref[:, 0:1] + vecT_ref[:, 1:2]).astype(cdt)
     h = jax.lax.dot_general(
         w1_ref[...], y, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)  # (4D, LPAT)
+        preferred_element_type=jnp.float32)  # (4D, nimg*LPAT)
     h = h + b1T_ref[...]
     # tanh-approximate GELU (jax.nn.gelu approximate=True)
     h = 0.5 * h * (1.0 + jnp.tanh(0.7978845608028654 * (h + 0.044715 * h * h * h)))
     h = h.astype(cdt)
     out = jax.lax.dot_general(
         w2_ref[...], h, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)  # (D, LPAT)
-    o_ref[0] = (out + vecT_ref[:, 2:3]).astype(o_ref.dtype) + xT
+        preferred_element_type=jnp.float32)  # (D, nimg*LPAT)
+    out = out + vecT_ref[:, 2:3]
+    for i in range(nimg):
+        o_ref[i] = (out[:, i * lpat:(i + 1) * lpat]).astype(
+            o_ref.dtype) + xT_ref[i]
 
 
-def _mlp_t_call(xT, w1, w2, vecT, b1T, *, eps, interpret):
+def _mlp_t_call(xT, w1, w2, vecT, b1T, *, eps, interpret, nimg=None):
     b, d, lpat = xT.shape
     mlp_dim = w1.shape[1]
+    if nimg is None:
+        nimg = 2 if b % 2 == 0 else 1
     return pl.pallas_call(
-        functools.partial(_mlp_t_kernel, eps=eps),
-        grid=(b, 1, 1),
+        functools.partial(_mlp_t_kernel, eps=eps, nimg=nimg),
+        grid=(b // nimg, 1, 1),
         in_specs=[
-            pl.BlockSpec((1, d, lpat), lambda i, _, __: (i, 0, 0)),
+            pl.BlockSpec((nimg, d, lpat), lambda i, _, __: (i, 0, 0)),
             pl.BlockSpec((d, mlp_dim), lambda i, _, __: (0, 0)),
             pl.BlockSpec((mlp_dim, d), lambda i, _, __: (0, 0)),
             pl.BlockSpec((d, 8), lambda i, _, __: (0, 0)),
             pl.BlockSpec((mlp_dim, 1), lambda i, _, __: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, d, lpat), lambda i, _, __: (i, 0, 0)),
+        out_specs=pl.BlockSpec((nimg, d, lpat), lambda i, _, __: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, d, lpat), xT.dtype),
         compiler_params=_compiler_params(interpret),
         interpret=interpret,

@@ -62,6 +62,12 @@ def test_auto_attn_impl_resolution():
     assert lo.model.image.attn_impl == "xla"
     assert lo.model.text.attn_impl == "xla"
 
+    # remat=none: fused wins at 224 too (159.7 vs 150.1 img/s, PERF_NOTES
+    # "Training ladder at remat=none, round 3")
+    nr = cfg_mod.get_config("res=224,img=L/14,runlocal=True,remat=none")
+    assert nr.model.image.attn_impl == "fused"
+    assert nr.model.text.attn_impl == "xla"
+
     # explicit pick still wins at any res
     ex = cfg_mod.get_config("res=336,img=L/14,runlocal=True,attn_impl=flash")
     assert ex.model.image.attn_impl == "flash"
