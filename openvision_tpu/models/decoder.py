@@ -316,6 +316,36 @@ def Model(num_classes=None, *, variant=None, **kw):
     return TextDecoder(**{**decode_variant(variant), **kw})
 
 
+def warp_logits(
+    logits: jax.Array, *, top_k: int = 0, top_p: float = 0.0
+) -> jax.Array:
+    """Jittable top-k / top-p (nucleus) logit filtering.
+
+    Semantics match the HF logits warpers the reference's vendored OpenCLIP
+    generate() dispatches on (`convert_upload/open_clip/coca_model.py:30-41,
+    265-268`): `top_k` keeps the k highest-probability tokens; `top_p` keeps
+    the smallest descending-probability prefix whose cumulative probability
+    reaches top_p (the top-1 token is always kept). Filtered positions get a
+    large negative value. Both are static-shape (lax.top_k / sort — no
+    data-dependent shapes), so the warp jits cleanly on TPU.
+    """
+    neg = jnp.asarray(jnp.finfo(logits.dtype).min, logits.dtype)
+    if top_k > 0:
+        kth = jax.lax.top_k(logits, min(top_k, logits.shape[-1]))[0][..., -1:]
+        logits = jnp.where(logits < kth, neg, logits)
+    if top_p > 0.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # keep tokens whose cumulative prob EXCLUDING themselves is < top_p
+        # (the minimal descending prefix reaching top_p; index 0 always kept)
+        keep = (cum - probs) < top_p
+        idx = jnp.sum(keep.astype(jnp.int32), axis=-1, keepdims=True) - 1
+        threshold = jnp.take_along_axis(sorted_logits, idx, axis=-1)
+        logits = jnp.where(logits < threshold, neg, logits)
+    return logits
+
+
 def generate(
     decoder: TextDecoder,
     params,
@@ -323,6 +353,8 @@ def generate(
     text_tokens: jax.Array,
     *,
     temperature: float = 0.0,
+    top_k: int = 0,
+    top_p: float = 0.0,
     rng: Optional[jax.Array] = None,
     eos_id: int = 2,
 ) -> jax.Array:
@@ -332,13 +364,17 @@ def generate(
     [image ++ text] prefix under a prefix-LM mask, so caption logits for all
     positions come from ONE forward pass — position i's logits predict token
     i+1 of the caption (see reference training targets, bert_ops.py:555-576).
-    Greedy (temperature=0) or temperature sampling; tokens after the first
-    eos are replaced with pad (0).
+    Greedy (temperature=0) or temperature sampling, optionally top_k/top_p
+    filtered (the vendored OpenCLIP generation_type surface; beam search is
+    n/a here — sampled tokens never feed back through the fixed queries, so
+    per-position argmax IS the optimal beam). Tokens after the first eos are
+    replaced with pad (0).
     """
     logits, _ = decoder.apply({"params": params}, image_tokens, text_tokens)
     if temperature > 0.0:
         assert rng is not None, "sampling needs an rng"
-        ids = jax.random.categorical(rng, logits / temperature, axis=-1)
+        logits = warp_logits(logits / temperature, top_k=top_k, top_p=top_p)
+        ids = jax.random.categorical(rng, logits, axis=-1)
     else:
         ids = jnp.argmax(logits, axis=-1)
     # mask everything after the first eos

@@ -83,21 +83,27 @@ def build_captioner(config, checkpoint: str, step: int | None = None,
     bos = tok.bos_id if tok.bos_id is not None else tok.cls_id
     eos = tok.eos_id if tok.eos_id is not None else tok.sep_id
 
-    def caption_fn(images: jax.Array, rng: jax.Array, temperature: float):
+    def caption_fn(images: jax.Array, rng: jax.Array, temperature: float,
+                   top_k: int = 0, top_p: float = 0.0):
+        from openvision_tpu.models.decoder import warp_logits
+
         b = images.shape[0]
         text = jnp.full((b, token_len), tok.pad_id, jnp.int32)
         text = text.at[:, 0].set(bos)
         _, _, out = model.apply({"params": params}, images, text, train=False)
         logits = out["logits"]
         if temperature > 0.0:
-            ids = jax.random.categorical(rng, logits / temperature, axis=-1)
+            logits = warp_logits(logits / temperature, top_k=top_k, top_p=top_p)
+            ids = jax.random.categorical(rng, logits, axis=-1)
         else:
             ids = jnp.argmax(logits, axis=-1)
         is_eos = (ids == eos).astype(jnp.int32)
         seen = jnp.cumsum(is_eos, axis=1) - is_eos
         return jnp.where(seen > 0, tok.pad_id, ids)
 
-    return jax.jit(caption_fn, static_argnames="temperature"), tok
+    return jax.jit(
+        caption_fn, static_argnames=("temperature", "top_k", "top_p")
+    ), tok
 
 
 def main(argv=None):
@@ -112,6 +118,11 @@ def main(argv=None):
     p.add_argument("--step", type=int, default=None)
     p.add_argument("--temperature", type=float, default=0.0,
                    help="0 = greedy; >0 = sampled")
+    p.add_argument("--top_k", type=int, default=0,
+                   help="sample from the k most probable tokens (0 = off)")
+    p.add_argument("--top_p", type=float, default=0.0,
+                   help="nucleus sampling: sample from the smallest token set "
+                   "with cumulative probability >= top_p (0 = off)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--vocab", default=_DEFAULT_VOCAB)
     args = p.parse_args(argv)
@@ -134,7 +145,8 @@ def main(argv=None):
     res = config.init_shapes[0][1]
     images = jnp.asarray(np.stack([_load_image(f, res) for f in paths]))
     ids = np.asarray(
-        caption_fn(images, jax.random.PRNGKey(args.seed), args.temperature)
+        caption_fn(images, jax.random.PRNGKey(args.seed), args.temperature,
+                   args.top_k, args.top_p)
     )
     for path, row in zip(paths, ids):
         print(f"{path}\t{tok.decode(row.tolist())}")

@@ -24,6 +24,64 @@ def test_decoder_generate_greedy_and_sampled():
     assert ids2.shape == (2, 6)
 
 
+def test_warp_logits_top_k():
+    from openvision_tpu.models.decoder import warp_logits
+
+    logits = jnp.asarray([[5.0, 1.0, 3.0, 4.0, 2.0]])
+    out = np.asarray(warp_logits(logits, top_k=2))
+    kept = out > np.finfo(np.float32).min / 2
+    np.testing.assert_array_equal(kept[0], [True, False, False, True, False])
+    # kept logits unchanged
+    np.testing.assert_allclose(out[0][kept[0]], [5.0, 4.0])
+    # k >= vocab keeps everything
+    out = np.asarray(warp_logits(logits, top_k=9))
+    assert (out == np.asarray(logits)).all()
+
+
+def test_warp_logits_top_p():
+    from openvision_tpu.models.decoder import warp_logits
+
+    # probs ≈ [0.643, 0.237, 0.087, 0.032, 0.0117] for logits 5..1
+    logits = jnp.asarray([[5.0, 4.0, 3.0, 2.0, 1.0]])
+    out = np.asarray(warp_logits(logits, top_p=0.8))
+    kept = out > np.finfo(np.float32).min / 2
+    # minimal prefix reaching 0.8 is {5.0, 4.0} (0.643 + 0.237 = 0.88)
+    np.testing.assert_array_equal(kept[0], [True, True, False, False, False])
+    # tiny top_p still keeps the argmax
+    out = np.asarray(warp_logits(logits, top_p=1e-6))
+    kept = out > np.finfo(np.float32).min / 2
+    np.testing.assert_array_equal(kept[0], [True, False, False, False, False])
+    # top_p = 1 keeps everything
+    out = np.asarray(warp_logits(logits, top_p=1.0))
+    assert (out == np.asarray(logits)).all()
+
+
+def test_generate_top_k1_matches_greedy():
+    from openvision_tpu.models import decoder as decoder_mod
+
+    dec = decoder_mod.Model(
+        variant="Ti", num_classes=64, fusion_style="concat", casual_mask=True,
+        num_learnable_tokens=6,
+    )
+    img_tok = jnp.ones((2, 4, 32)) * 0.1
+    txt_tok = jnp.ones((2, 5, 192)) * 0.1
+    params = dec.init(jax.random.PRNGKey(0), img_tok, txt_tok)["params"]
+    greedy = decoder_mod.generate(dec, params, img_tok, txt_tok)
+    # top_k=1 sampling has a single choice per position → equals greedy
+    topk1 = decoder_mod.generate(
+        dec, params, img_tok, txt_tok, temperature=1.0, top_k=1,
+        rng=jax.random.PRNGKey(7),
+    )
+    np.testing.assert_array_equal(np.asarray(greedy), np.asarray(topk1))
+    # top_p sampling runs and returns valid ids
+    topp = decoder_mod.generate(
+        dec, params, img_tok, txt_tok, temperature=1.0, top_p=0.9,
+        rng=jax.random.PRNGKey(8),
+    )
+    assert topp.shape == greedy.shape
+    assert (np.asarray(topp) >= 0).all() and (np.asarray(topp) < 64).all()
+
+
 def test_generate_eos_masking():
     from openvision_tpu.models.decoder import generate  # reuse masking logic
 
