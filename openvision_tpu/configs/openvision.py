@@ -129,6 +129,13 @@ def get_config(arg: str | None = None) -> ConfigDict:
     if arg.attn_impl == "auto":
         img_attn = "fused" if (arg.res >= 336 or arg.remat == "none") else "xla"
         txt_attn = "xla"
+        if arg.pipe_parallelism > 1:
+            # pipeline parallelism rotates activations through a shard_map
+            # ppermute ring; the fused Pallas paths open their own shard_map
+            # and are not pipe-eligible (encoder.py:_pipe_eligible), so with
+            # pipe stages requested "auto" must pick an eligible impl or the
+            # pipe mesh axis would silently go unused.
+            img_attn = txt_attn = "xla"
 
     c.model_name = "clip"
     c.model = ConfigDict()

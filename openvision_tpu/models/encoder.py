@@ -421,17 +421,37 @@ class Encoder(nn.Module):
         from openvision_tpu.parallel import active_mesh
 
         mesh = active_mesh()
-        return (
-            mesh is not None
-            and mesh.shape.get("pipe", 1) > 1
-            and self.depth % mesh.shape["pipe"] == 0
+        if mesh is None or mesh.shape.get("pipe", 1) <= 1:
+            return False
+        # every microbatch must still split over the data axes (m >= 1 with
+        # B % (m*dp) == 0 needs B itself divisible), else run sequentially
+        dp = mesh.shape.get("data", 1) * mesh.shape.get("fsdp", 1)
+        eligible = (
+            self.depth % mesh.shape["pipe"] == 0
             and isinstance(x, jax.Array)
             and x.ndim == 3
             and self.attn_impl in ("xla", "scan", "flash")
             and self.drop_path == 0.0
             and not self.decode
             and (deterministic or self.dropout == 0.0)
+            and x.shape[0] >= dp
+            and x.shape[0] % dp == 0
         )
+        if not eligible and self.attn_impl not in ("xla", "scan", "flash"):
+            # the pipe axis was requested but this impl can't ride it —
+            # say so rather than silently replicating across the stages
+            import warnings
+
+            warnings.warn(
+                f"mesh has pipe={mesh.shape['pipe']} but attn_impl="
+                f"{self.attn_impl!r} is not pipeline-eligible (the fused "
+                "Pallas paths open their own shard_map); running the block "
+                "stack sequentially — the pipe axis does no useful work. "
+                "Use attn_impl in ('xla','scan','flash') with pipe "
+                "parallelism.",
+                stacklevel=2,
+            )
+        return eligible
 
     def _block_fields(self) -> dict:
         return dict(

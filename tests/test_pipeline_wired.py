@@ -126,3 +126,63 @@ def test_pipeline_path_engages():
         jaxpr = str(jax.make_jaxpr(
             lambda p, x: m.apply({"params": p}, x))(params, img))
     assert "ppermute" in jaxpr, "pipeline path did not engage on pipe>1 mesh"
+
+
+def test_pipeline_small_batch_falls_back_sequential():
+    """A batch that doesn't split over the data axes (e.g. a 2-row tool
+    probe) must run the sequential stack, not die in microbatch sizing."""
+    from openvision_tpu.models import vit as vit_mod
+    from openvision_tpu.parallel import unbox
+
+    m = vit_mod.Model(
+        num_classes=32, variant="mu/16", depth=4, posemb="sincos2d",
+        pool_type="gap", output_tokens=False, emb_head_bias=False,
+        head_zeroinit=False)
+    img = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    params = unbox(m.init(jax.random.PRNGKey(0), img[:1])["params"])
+    ref = m.apply({"params": params}, img)
+
+    mesh = create_mesh(data=4, fsdp=1, tensor=1, pipe=2)  # batch 2 < dp 4
+    with use_mesh(mesh):
+        out = m.apply({"params": params}, img)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_pipeline_ineligible_impl_warns():
+    """pipe>1 with a fused attn impl can't pipeline (nested shard_map);
+    it must say so loudly instead of silently wasting the pipe axis."""
+    import warnings
+
+    from openvision_tpu.models import vit as vit_mod
+    from openvision_tpu.parallel import unbox
+
+    m = vit_mod.Model(
+        num_classes=32, variant="mu/16", depth=4, posemb="sincos2d",
+        pool_type="gap", output_tokens=False, emb_head_bias=False,
+        head_zeroinit=False, attn_impl="fused")
+    img = jax.random.normal(jax.random.PRNGKey(1), (8, 32, 32, 3))
+    params = unbox(m.init(jax.random.PRNGKey(0), img[:1])["params"])
+    mesh = create_mesh(data=2, fsdp=1, tensor=1, pipe=4)
+    with use_mesh(mesh):
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            m.apply({"params": params}, img)
+    assert any("not pipeline-eligible" in str(x.message) for x in w)
+
+
+def test_config_auto_attn_respects_pipe_parallelism():
+    """attn_impl=auto must resolve to a pipe-eligible impl when pipeline
+    stages are requested — 'fused' would silently disable PP."""
+    c = cfg_mod.get_config(
+        "res=336,img=mu/16,txt_name=Ti,txt_decoder_name=Ti,token_len=16,"
+        "output_token_len=8,runlocal=True,remat=none,attn_impl=auto,"
+        "pipe_parallelism=2"
+    )
+    assert c.model.image.attn_impl == "xla"
+    # without pipe stages the perf-based resolution stands
+    c = cfg_mod.get_config(
+        "res=336,img=mu/16,txt_name=Ti,txt_decoder_name=Ti,token_len=16,"
+        "output_token_len=8,runlocal=True,remat=none,attn_impl=auto"
+    )
+    assert c.model.image.attn_impl == "fused"
