@@ -134,6 +134,9 @@ class Evaluator:
             num_heads=geom["num_heads"],
             depth=geom["depth"],
             posemb=icfg.get("posemb", "sincos2d"),
+            # match the bf16 tower's GELU so the measured bf16↔int8 delta is
+            # quantization error alone, not GELU-approximation error
+            fast_gelu=bool(icfg.get("fast_gelu", False)),
         )
 
     def _int8_state(self, params, calib_images):
@@ -143,6 +146,15 @@ class Evaluator:
         qp = jax.jit(quant.quantize_vit_params)(params["img"])
         scales = None
         if self.int8_calibration > 0 and len(calib_images):
+            if jax.process_count() > 1:
+                # calib_images is this process's LOCAL slice; every host must
+                # bake IDENTICAL static scales into its compiled program, so
+                # gather the slices and calibrate on the same global prefix
+                from jax.experimental import multihost_utils
+
+                calib_images = multihost_utils.process_allgather(
+                    np.asarray(calib_images), tiled=True
+                )
             calib = self._apply_device_norm(
                 jnp.asarray(calib_images[: self.int8_calibration]))
             scales = quant.calibrate_vit(qp, calib, **geom)
@@ -227,6 +239,14 @@ class Evaluator:
         """Returns [(metric, value)]; with `return_preds`, also the per-image
         argmax predictions and validity mask as flat np arrays (used by
         scripts/eval_scale.py's bf16↔int8 prediction-agreement probe)."""
+        if return_preds and jax.process_count() > 1:
+            # per-image preds stay batch-sharded on device; device_get on a
+            # non-addressable global array would raise mid-eval — fail early
+            raise ValueError(
+                "return_preds is a single-process probe (used by "
+                "scripts/eval_scale.py); the accuracy metrics themselves are "
+                "multihost-safe"
+            )
         params = train_state["params"]
         class_embs = self._build_class_embeddings(params)
 

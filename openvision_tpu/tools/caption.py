@@ -32,24 +32,21 @@ import numpy as np
 _IMG_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".webp")
 _DEFAULT_VOCAB = "assets/bert_base_vocab_bos_eos.txt"
 
-# vgg_value_range constants (data/ops_image.py) — the training-time
-# normalization for OpenVision recipes.
-_VGG_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
-_VGG_STD = np.array([0.229, 0.224, 0.225], np.float32)
-
 
 def _load_image(path: str, res: int) -> np.ndarray:
-    from openvision_tpu.data.ops_image import _resize, _to_image_array
+    """The framework's eval-time image pp (configs/openvision.py eval_img_pp
+    + vgg device-norm), run through the same registered ops the evaluators
+    use — one source of truth for inference preprocessing."""
+    from openvision_tpu.data.pp import build_pp_fn, import_pp_modules
     from PIL import Image
 
-    img = _to_image_array(np.asarray(Image.open(path).convert("RGB")))
-    h, w = img.shape[:2]
-    ratio = res / min(h, w)
-    img = _resize(img, round(h * ratio), round(w * ratio), "bicubic", True)
-    h, w = img.shape[:2]
-    top, left = (h - res) // 2, (w - res) // 2
-    img = img[top : top + res, left : left + res].astype(np.float32) / 255.0
-    return (img - _VGG_MEAN) / _VGG_STD
+    import_pp_modules(["ops_image"])
+    pp = build_pp_fn(
+        f'resize_small({res}, method="bilinear", antialias=True)'
+        f"|central_crop({res})|vgg_value_range"
+    )
+    img = np.asarray(Image.open(path).convert("RGB"))
+    return pp({"image": img}, np.random.default_rng(0))["image"]
 
 
 def build_captioner(config, checkpoint: str, step: int | None = None,
@@ -119,13 +116,18 @@ def main(argv=None):
     p.add_argument("--temperature", type=float, default=0.0,
                    help="0 = greedy; >0 = sampled")
     p.add_argument("--top_k", type=int, default=0,
-                   help="sample from the k most probable tokens (0 = off)")
+                   help="sample from the k most probable tokens (0 = off; "
+                   "implies --temperature 1.0 when temperature is unset)")
     p.add_argument("--top_p", type=float, default=0.0,
                    help="nucleus sampling: sample from the smallest token set "
-                   "with cumulative probability >= top_p (0 = off)")
+                   "with cumulative probability >= top_p (0 = off; implies "
+                   "--temperature 1.0 when temperature is unset)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--vocab", default=_DEFAULT_VOCAB)
     args = p.parse_args(argv)
+    if (args.top_k or args.top_p) and args.temperature <= 0.0:
+        # top_k/top_p are sampling warpers; greedy would silently ignore them
+        args.temperature = 1.0
 
     from openvision_tpu.configs import openvision as cfg_mod
 

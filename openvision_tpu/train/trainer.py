@@ -42,6 +42,43 @@ def _should(step: int, every: Optional[int], total: int) -> bool:
     return step % every == 0 or step == total
 
 
+def _check_token_range(loader, config):
+    """Validates the FIRST host batch's token ids against the embed sizes.
+
+    A vocab_size smaller than what the tokenizer emits (e.g. vocab_size=64
+    with the real 30522-line WordPiece vocab) turns the caption loss into
+    silent NaNs — out-of-range one-hot targets zero out log-probs. One cheap
+    numpy max on the first batch catches it before the first step runs.
+    """
+    def _cfg_get(section, key, default=None):
+        sub = config.model.get(section)
+        return sub.get(key, default) if hasattr(sub, "get") else default
+
+    txt_vocab = _cfg_get("text", "vocab_size")
+    limits = {
+        "labels1": txt_vocab,
+        "labels2": txt_vocab,
+        "autoreg_labels": _cfg_get(
+            "text_decoder_config", "num_classes", txt_vocab),
+    }
+
+    it = iter(loader)
+    first = next(it, None)
+    if first is not None:
+        for key, limit in limits.items():
+            if limit and key in first:
+                mx = int(np.max(first[key]))
+                if mx >= limit:
+                    raise ValueError(
+                        f"batch[{key!r}] contains token id {mx} but the "
+                        f"model's vocab/num_classes is {limit} — the "
+                        "tokenizer vocab and config vocab_size disagree "
+                        "(this would train on NaNs)"
+                    )
+        yield first
+    yield from it
+
+
 def maybe_distributed_init():
     """jax.distributed.initialize() when running under a multi-host launcher."""
     if os.environ.get("JAX_COORDINATOR_ADDRESS") or int(
@@ -142,6 +179,7 @@ def train(config, workdir: Optional[str] = None):
         config.input, seed=config.get("seed", 0),
         num_workers=config.input.get("num_workers", 0),
     )
+    loader = _check_token_range(loader, config)
     train_iter = input_pipeline.start_input_pipeline(loader, mesh, prefetch=1)
 
     total_steps = steps("total", config, ntrain, batch_size)

@@ -217,6 +217,12 @@ def test_disclf_int8_flag():
                                    int8_calibration=16, **kw)
         ((k1, acc1),) = ev_bf16.run({"params": params})
         ((k2, acc2),) = ev_int8.run({"params": params})
+        # the int8 path must match the bf16 tower's GELU flavor, so the
+        # measured delta is quantization error alone (this model: exact GELU)
+        assert ev_int8._vit_geometry()["fast_gelu"] is False
+        model_fg = model.clone(image=dict(model.image, fast_gelu=True))
+        ev_fg = disclf.Evaluator(model_fg, mesh, int8=True, **kw)
+        assert ev_fg._vit_geometry()["fast_gelu"] is True
     assert k1 == k2
     assert 0.0 <= acc2 <= 1.0
     # random tiny model: quantization may flip borderline argmaxes, but the
