@@ -175,3 +175,55 @@ def test_vit_fused_t_odd_batch():
     ox = m_x.apply({"params": params}, img)
     of = m_f.apply({"params": params}, img)
     np.testing.assert_allclose(np.asarray(ox), np.asarray(of), atol=1e-4, rtol=1e-4)
+
+
+def test_tblock_so400m_style_geometry():
+    """So400m/H-family geometries break two hidden assumptions a ViT kernel
+    can silently make: mlp_dim = 4*width (So400m: 4304 vs 4*1152=4608) and
+    head_dim a power of two (So400m: 1152/16 = 72). Exercise a scaled-down
+    replica — d=24, heads=3 (head_dim 8), mlp=56 — through the fused
+    forward AND backward kernels vs the jnp reference."""
+    d, heads, mlp, p = 24, 3, 56, 9
+    ks = jax.random.split(jax.random.PRNGKey(5), 12)
+    x = jax.random.normal(ks[0], (2, 1 + p, d))
+    args = (
+        jax.random.normal(ks[1], (d, 3 * d)) * 0.2,   # wqkv
+        jax.random.normal(ks[2], (3 * d,)) * 0.05,    # bqkv
+        jax.random.normal(ks[3], (d, d)) * 0.2,       # wo
+        jax.random.normal(ks[4], (d,)) * 0.05,        # bo
+        1 + 0.1 * jax.random.normal(ks[9], (d,)),     # ln1s
+        0.05 * jax.random.normal(ks[10], (d,)),       # ln1b
+        jax.random.normal(ks[5], (d, mlp)) * 0.2,     # w1
+        jax.random.normal(ks[6], (mlp,)) * 0.05,      # b1
+        jax.random.normal(ks[7], (mlp, d)) * 0.2,     # w2
+        jax.random.normal(ks[8], (d,)) * 0.05,        # b2
+        1 + 0.1 * jax.random.normal(ks[11], (d,)),    # ln2s
+        jnp.zeros((d,)),                              # ln2b
+    )
+    xT, cls, valid = to_transposed_stream(x)
+
+    def loss_fused(xT, cls, *a):
+        oT, ocls = fused_encoder_tblock(
+            xT, cls, *a, num_heads=heads, valid=valid, interpret=True)
+        return jnp.sum(jnp.sin(from_transposed_stream(oT, ocls, valid)))
+
+    def loss_ref(xT, cls, *a):
+        rT, rcls = _tblock_reference(
+            xT, cls, *a, num_heads=heads, valid=valid, eps=1e-6)
+        return jnp.sum(jnp.sin(from_transposed_stream(rT, rcls, valid)))
+
+    oT, ocls = fused_encoder_tblock(
+        xT, cls, *args, num_heads=heads, valid=valid, interpret=True)
+    rT, rcls = _tblock_reference(
+        xT, cls, *args, num_heads=heads, valid=valid, eps=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(from_transposed_stream(oT, ocls, valid)),
+        np.asarray(from_transposed_stream(rT, rcls, valid)),
+        atol=1e-4, rtol=1e-4)
+
+    gf = jax.grad(loss_fused, argnums=tuple(range(2 + len(args))))(xT, cls, *args)
+    gr = jax.grad(loss_ref, argnums=tuple(range(2 + len(args))))(xT, cls, *args)
+    for i, (a, b) in enumerate(zip(gf, gr)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-3,
+            err_msg=f"grad mismatch for arg {i}")
