@@ -53,6 +53,9 @@ def get_config(arg: str | None = None) -> ConfigDict:
         # img/s encode), "ring" = seq-parallel, "xla"/"scan"/"flash" as
         # in ops/.
         attn_impl="auto",
+        # caption-decoder attention over the concat [image+text|queries]
+        # sequence (465 tokens at 224px). "auto" resolves below.
+        dec_attn_impl="auto",
         # chunk size for the head-fused caption cross-entropy (0 = build
         # full logits and use plain softmax_xent)
         cap_xent_chunk=16,
@@ -136,6 +139,16 @@ def get_config(arg: str | None = None) -> ConfigDict:
             # pipe stages requested "auto" must pick an eligible impl or the
             # pipe mesh axis would silently go unused.
             img_attn = txt_attn = "xla"
+    dec_attn = arg.dec_attn_impl
+    if dec_attn == "auto":
+        # measured on the decoder's 465-token concat sequence (L/14@224 CoCa,
+        # remat=none, 1 chip, bs32): the whole-sub-block fused kernel with
+        # its native prefix-LM mask beats flash beats unfused xla —
+        # 168.1 > 159.7 > 159.0 img/s (docs/PERF_NOTES.md round-3 decoder
+        # ladder; fused never round-trips q/k/v through HBM and never saves
+        # the 12 per-block (B, H, 465, 465) probability tensors for the
+        # backward) — but a pallas_call cannot ride the pipe shard_map ring.
+        dec_attn = "xla" if arg.pipe_parallelism > 1 else "fused"
 
     c.model_name = "clip"
     c.model = ConfigDict()
@@ -186,7 +199,7 @@ def get_config(arg: str | None = None) -> ConfigDict:
             remat_policy=arg.remat,
             fusion_style="concat",
             causal=True,
-            attn_impl="xla",
+            attn_impl=dec_attn,
             num_learnable_tokens=arg.output_token_len,
             drop_token=0,
             # head-fused caption loss: the (B, L, 32k) f32 logits tensor —

@@ -67,6 +67,7 @@ class MultiHeadAttention(nn.Module):
     use_bias: bool = True
     dropout_rate: float = 0.0
     causal: bool = False
+    prefix_len: int = 0  # >0 with causal=True: prefix-LM (flash native)
     attn_impl: str = "xla"  # "xla" | "scan" | "flash"
     chunk: int = 128
     dtype: Dtype = jnp.float32
@@ -122,6 +123,7 @@ class MultiHeadAttention(nn.Module):
                 bq, bk, bv,
                 num_heads=self.num_heads,
                 causal=self.causal,
+                prefix_len=self.prefix_len,
                 interpret=jax.devices()[0].platform not in ("tpu", "axon"),
             )
             x = logical(x, ACT_BLD)
@@ -211,10 +213,12 @@ class MultiHeadAttention(nn.Module):
             v,
             mask=mask,
             causal=causal,
+            prefix_len=self.prefix_len if not self.decode else 0,
             dropout_rate=self.dropout_rate,
             dropout_rng=dropout_rng,
             dtype=self.dtype,
             chunk=self.chunk,
+            interpret=jax.devices()[0].platform not in ("tpu", "axon"),
         )
         x = logical(x.astype(self.dtype), ACT_BLHD)
 

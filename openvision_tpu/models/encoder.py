@@ -108,9 +108,17 @@ class EncoderBlock(nn.Module):
 
         mask = None
         causal = self.causal
+        prefix_len = 0
         if self.causal and self.prefix_len > 0 and not self.decode:
-            mask = prefix_lm_mask(x.shape[0], x.shape[1], self.prefix_len)
-            causal = False
+            if self.attn_impl in ("flash", "fused"):
+                # these kernels apply the prefix-LM mask natively
+                # (ops/flash_attention.py:_band_mask,
+                # ops/fused_attention.py:_tvalid) — no (B, 1, L, L) mask
+                # tensor, no forced fallback to unfused XLA attention
+                prefix_len = self.prefix_len
+            else:
+                mask = prefix_lm_mask(x.shape[0], x.shape[1], self.prefix_len)
+                causal = False
 
         # Whole-sub-block fusion: LN + QKV + attention + out-proj + residual
         # in one Pallas kernel (2x the XLA sub-block on v5e). Applies to the
@@ -125,9 +133,10 @@ class EncoderBlock(nn.Module):
             and (deterministic or (self.dropout == 0.0 and self.drop_path == 0.0))
         )
         if use_block_fusion:
-            x = self._fused_attn_subblock(x, inits, causal)
+            x = self._fused_attn_subblock(x, inits, causal, prefix_len)
         else:
-            x = self._attn_subblock(x, inits, causal, mask, deterministic)
+            x = self._attn_subblock(
+                x, inits, causal, prefix_len, mask, deterministic)
 
         y = layer_norm(self.dtype, self.param_dtype, name="LayerNorm_1")(x)
         mlp = MlpBlock(
@@ -150,7 +159,8 @@ class EncoderBlock(nn.Module):
         y = DropPath(rate=self.drop_path)(y, deterministic)
         return logical(x + y, ACT_BLD)
 
-    def _attn_subblock(self, x, inits, causal, mask, deterministic):
+    def _attn_subblock(self, x, inits, causal, prefix_len, mask,
+                       deterministic):
         """Standard path: LN → MHA → dropout/LayerScale/DropPath → residual."""
         width = x.shape[-1]
         y = layer_norm(self.dtype, self.param_dtype, name="LayerNorm_0")(x)
@@ -160,6 +170,7 @@ class EncoderBlock(nn.Module):
             out_init=inits["out"],
             dropout_rate=self.dropout,
             causal=causal,
+            prefix_len=prefix_len,
             attn_impl=self.attn_impl,
             chunk=self.chunk,
             dtype=self.dtype,
@@ -174,7 +185,7 @@ class EncoderBlock(nn.Module):
         y = DropPath(rate=self.drop_path)(y, deterministic)
         return logical(x + y, ACT_BLD)
 
-    def _fused_attn_subblock(self, x, inits, causal):
+    def _fused_attn_subblock(self, x, inits, causal, prefix_len=0):
         """One Pallas kernel for LN + QKV + attention + out-proj + residual.
 
         Creates the exact same param tree as the standard path (LayerNorm_0
@@ -203,6 +214,7 @@ class EncoderBlock(nn.Module):
             wo.astype(self.dtype), bo,
             num_heads=self.num_heads,
             causal=causal,
+            prefix_len=prefix_len,
             interpret=jax.devices()[0].platform not in ("tpu", "axon"),
         )
         return logical(out, ACT_BLD)

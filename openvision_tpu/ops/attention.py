@@ -148,6 +148,7 @@ def dispatch_attention(
     *,
     mask: Optional[jax.Array] = None,
     causal: bool = False,
+    prefix_len: int = 0,
     sm_scale: float | None = None,
     dropout_rate: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
@@ -157,10 +158,16 @@ def dispatch_attention(
 ) -> jax.Array:
     """Routes to an attention implementation by name.
 
-    impl: "xla" | "scan" | "flash". Arbitrary (non-causal) masks are only
-    supported by "xla"; "flash"/"scan" support the causal mask natively.
+    impl: "xla" | "scan" | "flash". Arbitrary masks are only supported by
+    "xla"; "flash"/"scan" support the causal mask natively, and "flash"
+    additionally the prefix-LM mask (causal=True, prefix_len>0).
     """
     if impl == "xla":
+        if prefix_len > 0 and causal and mask is None:
+            from openvision_tpu.models.encoder import prefix_lm_mask
+
+            mask = prefix_lm_mask(q.shape[0], q.shape[1], prefix_len)
+            causal = False
         return xla_attention(
             q, k, v, mask=mask, causal=causal, sm_scale=sm_scale,
             dropout_rate=dropout_rate, dropout_rng=dropout_rng, dtype=dtype,
@@ -169,6 +176,11 @@ def dispatch_attention(
         raise NotImplementedError(
             f"attention impl {impl!r} supports only causal masks; use impl='xla'"
         )
+    if prefix_len > 0 and impl != "flash":
+        raise NotImplementedError(
+            f"attention impl {impl!r} does not support prefix-LM masking; "
+            "use impl='flash' or 'xla'"
+        )
     if impl == "scan":
         return blockwise_attention(
             q, k, v, causal=causal, sm_scale=sm_scale,
@@ -176,10 +188,18 @@ def dispatch_attention(
         )
     if impl == "flash":
         from openvision_tpu.ops.flash_attention import flash_attention
+        from openvision_tpu.ops.fused_attention import _shard_over_batch
 
-        return flash_attention(
-            q, k, v, causal=causal, sm_scale=sm_scale, interpret=interpret
-        )
+        def _flash_call(q, k, v):
+            return flash_attention(
+                q, k, v, causal=causal, prefix_len=prefix_len,
+                sm_scale=sm_scale, interpret=interpret
+            )
+
+        # GSPMD cannot partition the opaque pallas_call: under an active
+        # mesh the batch dim must be shard_mapped over (data, fsdp) or the
+        # sharded activations would be all-gathered onto every device.
+        return _shard_over_batch(_flash_call, q, k, v, extra_batched=2)
     if impl == "ring":
         from openvision_tpu.ops.ring_attention import ring_attention_sharded
         from openvision_tpu.parallel import active_mesh

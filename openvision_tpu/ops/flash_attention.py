@@ -43,13 +43,29 @@ def _ceil_to(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _band_mask(qi, ki, block_q, block_k, seq_q, seq_k, causal):
+def _band_mask(qi, ki, block_q, block_k, seq_q, seq_k, causal, prefix=0):
     rows = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
     cols = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
     mask = (cols < seq_k) & (rows < seq_q)
     if causal:
-        mask &= cols <= rows
+        band = cols <= rows
+        if prefix > 0:
+            # prefix-LM: the first `prefix` keys are visible to every row
+            # (col j allowed from row i iff j <= max(i, prefix-1) — the
+            # concat-fusion caption-decoder mask, models/encoder.py:41).
+            band |= cols < prefix
+        mask &= band
     return mask[None]  # broadcast over the group dim
+
+
+def _live(qi, ki, block_q, block_k, causal, prefix):
+    """Whether kv block `ki` can contribute to q block `qi` (block skipping)."""
+    if not causal:
+        return True
+    live = ki * block_k <= qi * block_q + block_q - 1
+    if prefix > 0:
+        live |= ki * block_k < prefix
+    return live
 
 
 # ---------------------------------------------------------------------------
@@ -59,25 +75,25 @@ def _band_mask(qi, ki, block_q, block_k, seq_q, seq_k, causal):
 
 def _fwd_kernel_single_k(
     q_ref, k_ref, v_ref, o_ref, lse_ref,
-    *, sm_scale, block_q, block_k, seq_q, seq_k, causal,
+    *, sm_scale, block_q, block_k, seq_q, seq_k, causal, prefix,
 ):
     _single_k_body(q_ref, k_ref, v_ref, o_ref, lse_ref,
                    qi=pl.program_id(1), block_q=block_q, block_k=block_k,
-                   seq_q=seq_q, seq_k=seq_k, causal=causal)
+                   seq_q=seq_q, seq_k=seq_k, causal=causal, prefix=prefix)
 
 
 def _fwd_kernel_single_k_nolse(
     q_ref, k_ref, v_ref, o_ref,
-    *, sm_scale, block_q, block_k, seq_q, seq_k, causal,
+    *, sm_scale, block_q, block_k, seq_q, seq_k, causal, prefix,
 ):
     _single_k_body(q_ref, k_ref, v_ref, o_ref, None,
                    qi=pl.program_id(1), block_q=block_q, block_k=block_k,
-                   seq_q=seq_q, seq_k=seq_k, causal=causal)
+                   seq_q=seq_q, seq_k=seq_k, causal=causal, prefix=prefix)
 
 
 def _single_k_body(
     q_ref, k_ref, v_ref, o_ref, lse_ref,
-    *, qi, block_q, block_k, seq_q, seq_k, causal,
+    *, qi, block_q, block_k, seq_q, seq_k, causal, prefix,
 ):
     """Fast path when all keys fit one block: plain fused softmax-attention.
 
@@ -95,7 +111,7 @@ def _single_k_body(
 
     s = jax.lax.dot_general(q, k, _QK, preferred_element_type=jnp.float32)
 
-    mask = _band_mask(qi, 0, block_q, block_k, seq_q, seq_k, causal)
+    mask = _band_mask(qi, 0, block_q, block_k, seq_q, seq_k, causal, prefix)
     s = jnp.where(mask, s, NEG_INF)  # exp(NEG_INF - m) == 0, no second mask
 
     m = jnp.max(s, axis=2, keepdims=True)
@@ -116,7 +132,7 @@ def _single_k_body(
 
 def _fwd_kernel(
     q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
-    *, sm_scale, block_q, block_k, seq_q, seq_k, causal, num_k_blocks,
+    *, sm_scale, block_q, block_k, seq_q, seq_k, causal, prefix, num_k_blocks,
 ):
     qi = pl.program_id(1)
     ki = pl.program_id(2)
@@ -127,7 +143,7 @@ def _fwd_kernel(
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    live = (ki * block_k <= qi * block_q + block_q - 1) if causal else True
+    live = _live(qi, ki, block_q, block_k, causal, prefix)
 
     @pl.when(live)
     def _compute():
@@ -137,7 +153,8 @@ def _fwd_kernel(
 
         s = jax.lax.dot_general(q, k, _QK, preferred_element_type=jnp.float32)
         s = s * sm_scale
-        mask = _band_mask(qi, ki, block_q, block_k, seq_q, seq_k, causal)
+        mask = _band_mask(qi, ki, block_q, block_k, seq_q, seq_k, causal,
+                          prefix)
         s = jnp.where(mask, s, NEG_INF)
 
         m_prev = m_scr[:, :, :1]  # (G, bq, 1)
@@ -158,6 +175,10 @@ def _fwd_kernel(
 
     if causal:
         last_k = jnp.minimum(num_k_blocks - 1, (qi * block_q + block_q - 1) // block_k)
+        if prefix > 0:
+            # live blocks stay a contiguous range from 0: the prefix range
+            # [0, prefix) unions with the causal band ending at the diagonal.
+            last_k = jnp.maximum(last_k, (prefix - 1) // block_k)
     else:
         last_k = num_k_blocks - 1
 
@@ -185,7 +206,7 @@ def _recompute_p(q, k, lse_row, mask, sm_scale):
 
 def _dq_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_scr,
-    *, sm_scale, block_q, block_k, seq_q, seq_k, causal, num_k_blocks,
+    *, sm_scale, block_q, block_k, seq_q, seq_k, causal, prefix, num_k_blocks,
 ):
     qi = pl.program_id(1)
     ki = pl.program_id(2)
@@ -194,7 +215,7 @@ def _dq_kernel(
     def _init():
         dq_scr[:] = jnp.zeros_like(dq_scr)
 
-    live = (ki * block_k <= qi * block_q + block_q - 1) if causal else True
+    live = _live(qi, ki, block_q, block_k, causal, prefix)
 
     @pl.when(live)
     def _compute():
@@ -205,7 +226,8 @@ def _dq_kernel(
         lse_row = jnp.swapaxes(lse_ref[:, :1, :], 1, 2)  # (G, bq, 1)
         delta_row = jnp.swapaxes(delta_ref[:, :1, :], 1, 2)
 
-        mask = _band_mask(qi, ki, block_q, block_k, seq_q, seq_k, causal)
+        mask = _band_mask(qi, ki, block_q, block_k, seq_q, seq_k, causal,
+                          prefix)
         p = _recompute_p(q, k, lse_row, mask, sm_scale)
         dp = jax.lax.dot_general(
             do, v.astype(jnp.float32), _QK, preferred_element_type=jnp.float32
@@ -223,7 +245,7 @@ def _dq_kernel(
 def _dkv_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
     dk_scr, dv_scr,
-    *, sm_scale, block_q, block_k, seq_q, seq_k, causal, num_q_blocks,
+    *, sm_scale, block_q, block_k, seq_q, seq_k, causal, prefix, num_q_blocks,
 ):
     ki = pl.program_id(1)
     qi = pl.program_id(2)
@@ -233,7 +255,7 @@ def _dkv_kernel(
         dk_scr[:] = jnp.zeros_like(dk_scr)
         dv_scr[:] = jnp.zeros_like(dv_scr)
 
-    live = (ki * block_k <= qi * block_q + block_q - 1) if causal else True
+    live = _live(qi, ki, block_q, block_k, causal, prefix)
 
     @pl.when(live)
     def _compute():
@@ -244,7 +266,8 @@ def _dkv_kernel(
         lse_row = jnp.swapaxes(lse_ref[:, :1, :], 1, 2)
         delta_row = jnp.swapaxes(delta_ref[:, :1, :], 1, 2)
 
-        mask = _band_mask(qi, ki, block_q, block_k, seq_q, seq_k, causal)
+        mask = _band_mask(qi, ki, block_q, block_k, seq_q, seq_k, causal,
+                          prefix)
         p = _recompute_p(q, k, lse_row, mask, sm_scale)
         dv_scr[:] += jax.lax.dot_general(
             p.astype(do.dtype), do, _PT_DO, preferred_element_type=jnp.float32
@@ -299,8 +322,8 @@ def _pad_flat(x, b, h, s_p, d):
     return jnp.pad(x, ((0, 0), (0, 0), (0, s_p - s), (0, 0))).reshape(b * h, s_p, d)
 
 
-def _fwd_impl(q, k, v, causal, sm_scale, block_q, block_k, group, interpret,
-              save_lse=True):
+def _fwd_impl(q, k, v, causal, prefix, sm_scale, block_q, block_k, group,
+              interpret, save_lse=True):
     b, h, sq, d = q.shape
     sk = k.shape[2]
     g, bq, bk, sq_p, sk_p = _plan(b * h, sq, sk, block_q, block_k, group)
@@ -322,14 +345,14 @@ def _fwd_impl(q, k, v, causal, sm_scale, block_q, block_k, group, interpret,
         kernel = functools.partial(
             _fwd_kernel_single_k if save_lse else _fwd_kernel_single_k_nolse,
             sm_scale=sm_scale, block_q=bq, block_k=bk,
-            seq_q=sq, seq_k=sk, causal=causal,
+            seq_q=sq, seq_k=sk, causal=causal, prefix=prefix,
         )
         scratch = []
     else:
         kernel = functools.partial(
             _fwd_kernel,
             sm_scale=sm_scale, block_q=bq, block_k=bk,
-            seq_q=sq, seq_k=sk, causal=causal, num_k_blocks=nk,
+            seq_q=sq, seq_k=sk, causal=causal, prefix=prefix, num_k_blocks=nk,
         )
         scratch = [
             pltpu.VMEM((g, bq, LANES), jnp.float32),
@@ -362,7 +385,8 @@ def _fwd_impl(q, k, v, causal, sm_scale, block_q, block_k, group, interpret,
     return o, lse
 
 
-def _bwd_impl(q, k, v, o, lse, do, causal, sm_scale, block_q, block_k, group, interpret):
+def _bwd_impl(q, k, v, o, lse, do, causal, prefix, sm_scale, block_q,
+              block_k, group, interpret):
     b, h, sq, d = q.shape
     sk = k.shape[2]
     # Backward holds ~2 score-sized f32 intermediates plus dk/dv scratch,
@@ -387,7 +411,7 @@ def _bwd_impl(q, k, v, o, lse, do, causal, sm_scale, block_q, block_k, group, in
         functools.partial(
             _dq_kernel,
             sm_scale=sm_scale, block_q=bq, block_k=bk,
-            seq_q=sq, seq_k=sk, causal=causal, num_k_blocks=nk,
+            seq_q=sq, seq_k=sk, causal=causal, prefix=prefix, num_k_blocks=nk,
         ),
         grid=(b * h // g, nq, nk),
         in_specs=[
@@ -408,7 +432,7 @@ def _bwd_impl(q, k, v, o, lse, do, causal, sm_scale, block_q, block_k, group, in
         functools.partial(
             _dkv_kernel,
             sm_scale=sm_scale, block_q=bq, block_k=bk,
-            seq_q=sq, seq_k=sk, causal=causal, num_q_blocks=nq,
+            seq_q=sq, seq_k=sk, causal=causal, prefix=prefix, num_q_blocks=nq,
         ),
         grid=(b * h // g, nk, nq),
         in_specs=[
@@ -440,24 +464,29 @@ def _bwd_impl(q, k, v, o, lse, do, causal, sm_scale, block_q, block_k, group, in
     return dq, dk, dv
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
-def _flash(q, k, v, causal, sm_scale, block_q, block_k, group, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+def _flash(q, k, v, causal, prefix, sm_scale, block_q, block_k, group,
+           interpret):
     o, _ = _fwd_impl(
-        q, k, v, causal, sm_scale, block_q, block_k, group, interpret,
+        q, k, v, causal, prefix, sm_scale, block_q, block_k, group, interpret,
         save_lse=False,
     )
     return o
 
 
-def _flash_fwd(q, k, v, causal, sm_scale, block_q, block_k, group, interpret):
-    o, lse = _fwd_impl(q, k, v, causal, sm_scale, block_q, block_k, group, interpret)
+def _flash_fwd(q, k, v, causal, prefix, sm_scale, block_q, block_k, group,
+               interpret):
+    o, lse = _fwd_impl(
+        q, k, v, causal, prefix, sm_scale, block_q, block_k, group, interpret)
     return o, (q, k, v, o, lse)
 
 
-def _flash_bwd(causal, sm_scale, block_q, block_k, group, interpret, res, do):
+def _flash_bwd(causal, prefix, sm_scale, block_q, block_k, group, interpret,
+               res, do):
     q, k, v, o, lse = res
     return _bwd_impl(
-        q, k, v, o, lse, do, causal, sm_scale, block_q, block_k, group, interpret
+        q, k, v, o, lse, do, causal, prefix, sm_scale, block_q, block_k,
+        group, interpret
     )
 
 
@@ -470,6 +499,7 @@ def flash_attention(
     v: jax.Array,
     *,
     causal: bool = False,
+    prefix_len: int = 0,
     sm_scale: float | None = None,
     block_q: int | None = None,
     block_k: int | None = None,
@@ -478,14 +508,19 @@ def flash_attention(
 ) -> jax.Array:
     """Flash attention over `(batch, length, heads, head_dim)` inputs.
 
-    Differentiable (custom VJP), supports causal masking and arbitrary
-    sequence lengths. `group` batches that many (batch·head) slices per grid
-    step (auto-tuned by default). `interpret=True` runs the Pallas
-    interpreter (CPU tests).
+    Differentiable (custom VJP), supports causal and prefix-LM masking
+    (`causal=True, prefix_len=p`: key j visible to query i iff
+    j <= max(i, p-1) — the concat-fusion caption-decoder mask, reference
+    src/models/text_decoder.py:482-520) and arbitrary sequence lengths.
+    `group` batches that many (batch·head) slices per grid step (auto-tuned
+    by default). `interpret=True` runs the Pallas interpreter (CPU tests).
     """
     assert q.ndim == 4, f"expected (B, L, H, D), got {q.shape}"
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
+    if prefix_len and not causal:
+        prefix_len = 0  # dense attention already sees everything
     qt, kt, vt = (jnp.transpose(x, (0, 2, 1, 3)) for x in (q, k, v))
-    o = _flash(qt, kt, vt, causal, sm_scale, block_q, block_k, group, interpret)
+    o = _flash(qt, kt, vt, causal, int(prefix_len), sm_scale, block_q,
+               block_k, group, interpret)
     return jnp.transpose(o, (0, 2, 1, 3))

@@ -54,9 +54,37 @@ def _pick_hchunk(num_heads: int, head_dim: int, lp: int, cap: int | None = None,
     return best
 
 
+def _tvalid(lp, seq, causal, prefix):
+    """(1, lp, lp) score validity in the transposed (·, key, query) layout.
+
+    causal=True, prefix>0 is the prefix-LM mask (key j visible to query i
+    iff j <= max(i, prefix-1)) — the concat-fusion caption-decoder mask,
+    reference src/models/text_decoder.py:482-520.
+    """
+    krow = jax.lax.broadcasted_iota(jnp.int32, (1, lp, lp), 1)
+    valid = krow < seq
+    if causal:
+        qcol = jax.lax.broadcasted_iota(jnp.int32, (1, lp, lp), 2)
+        band = krow <= qcol
+        if prefix > 0:
+            band |= krow < prefix
+        valid &= band
+    return valid
+
+
+def _ref_mask(l, causal, prefix):
+    """(l, l) bool mask (rows=query, cols=key) for the jnp references."""
+    if not causal:
+        return None
+    m = jnp.tril(jnp.ones((l, l), bool))
+    if prefix > 0:
+        m |= jnp.arange(l)[None, :] < prefix
+    return m
+
+
 def _kernel(
     y_ref, wq_ref, wk_ref, wv_ref, bias_ref, o_ref,
-    *, num_heads, head_dim, lp, seq, causal, hchunk,
+    *, num_heads, head_dim, lp, seq, causal, prefix, hchunk,
 ):
     # (LP, D) in; transpose to the lane-efficient (D, LP) form in VMEM
     # (in-kernel transposes ride the MXU and are ~free vs HBM relayouts).
@@ -88,12 +116,7 @@ def _kernel(
             k3, q3, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
-        krow = jax.lax.broadcasted_iota(jnp.int32, (1, lp, lp), 1)
-        valid = krow < seq
-        if causal:
-            qcol = jax.lax.broadcasted_iota(jnp.int32, (1, lp, lp), 2)
-            valid &= krow <= qcol
-        sT = jnp.where(valid, sT, NEG_INF)
+        sT = jnp.where(_tvalid(lp, seq, causal, prefix), sT, NEG_INF)
 
         m = jnp.max(sT, axis=1, keepdims=True)
         p = jnp.exp(sT - m)
@@ -113,7 +136,8 @@ def _kernel(
     o_ref[0] = outT.T
 
 
-def _fused_fwd_impl(y, wq, wk, wv, biases, num_heads, sm_scale, causal, interpret):
+def _fused_fwd_impl(y, wq, wk, wv, biases, num_heads, sm_scale, causal,
+                    prefix, interpret):
     b, l, d = y.shape
     dl = wq.shape[1]  # projection width; < d under head-sharded TP
     head_dim = dl // num_heads
@@ -133,7 +157,7 @@ def _fused_fwd_impl(y, wq, wk, wv, biases, num_heads, sm_scale, causal, interpre
     o = pl.pallas_call(
         functools.partial(
             _kernel, num_heads=num_heads, head_dim=head_dim, lp=lp, seq=l,
-            causal=causal, hchunk=hchunk,
+            causal=causal, prefix=prefix, hchunk=hchunk,
         ),
         grid=(b, 1, 1),
         in_specs=[
@@ -151,7 +175,7 @@ def _fused_fwd_impl(y, wq, wk, wv, biases, num_heads, sm_scale, causal, interpre
     return o[:, :l]
 
 
-def _reference(y, wq, wk, wv, biases, num_heads, sm_scale, causal):
+def _reference(y, wq, wk, wv, biases, num_heads, sm_scale, causal, prefix=0):
     """Mathematically identical unfused path (used for the backward pass)."""
     b, l, d = y.shape
     dl = wq.shape[1]
@@ -160,30 +184,32 @@ def _reference(y, wq, wk, wv, biases, num_heads, sm_scale, causal):
     k = (y @ wk + biases[1]).reshape(b, l, num_heads, hd)
     v = (y @ wv + biases[2]).reshape(b, l, num_heads, hd)
     s = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
-    if causal:
-        mask = jnp.tril(jnp.ones((l, l), bool))
+    mask = _ref_mask(l, causal, prefix)
+    if mask is not None:
         s = jnp.where(mask, s, NEG_INF)
     p = jax.nn.softmax(s, axis=-1).astype(y.dtype)
     return jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(b, l, dl)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
-def _fused(y, wq, wk, wv, biases, num_heads, sm_scale, causal, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _fused(y, wq, wk, wv, biases, num_heads, sm_scale, causal, prefix,
+           interpret):
     return _fused_fwd_impl(y, wq, wk, wv, biases, num_heads, sm_scale, causal,
-                           interpret)
+                           prefix, interpret)
 
 
-def _fused_fwd(y, wq, wk, wv, biases, num_heads, sm_scale, causal, interpret):
+def _fused_fwd(y, wq, wk, wv, biases, num_heads, sm_scale, causal, prefix,
+               interpret):
     out = _fused_fwd_impl(y, wq, wk, wv, biases, num_heads, sm_scale, causal,
-                          interpret)
+                          prefix, interpret)
     return out, (y, wq, wk, wv, biases)
 
 
-def _fused_bwd(num_heads, sm_scale, causal, interpret, res, g):
+def _fused_bwd(num_heads, sm_scale, causal, prefix, interpret, res, g):
     y, wq, wk, wv, biases = res
     _, vjp = jax.vjp(
         lambda y_, a, b_, c, bias: _reference(
-            y_, a, b_, c, bias, num_heads, sm_scale, causal
+            y_, a, b_, c, bias, num_heads, sm_scale, causal, prefix
         ),
         y, wq, wk, wv, biases,
     )
@@ -205,15 +231,18 @@ def fused_qkv_attention(
     num_heads: int,
     sm_scale: float | None = None,
     causal: bool = False,
+    prefix_len: int = 0,
     interpret: bool = False,
 ) -> jax.Array:
     """QKV projection + MHA in one kernel. y: (B, L, D); weights (D, D).
 
     Returns pre-output-projection attention output, (B, L, D).
+    `causal=True, prefix_len>0` applies the prefix-LM mask natively.
     """
     d = y.shape[-1]
     if sm_scale is None:
         sm_scale = (d // num_heads) ** -0.5
+    prefix = int(prefix_len) if causal else 0
     zeros = jnp.zeros((d,), jnp.float32)
     biases = jnp.stack(
         [b if b is not None else zeros for b in (bq, bk, bv)]
@@ -223,12 +252,12 @@ def fused_qkv_attention(
         # head-sharded TP: output D is sharded over `tensor` in head-major
         # chunks, matching the row-sharded out-proj that consumes it.
         mesh, baxes, t = info
-        cfg = (mesh, baxes, t, num_heads, sm_scale, causal, interpret)
+        cfg = (mesh, baxes, t, num_heads, sm_scale, causal, prefix, interpret)
         return _tp_qkv(cfg, y.astype(y.dtype), wq.astype(y.dtype),
                        wk.astype(y.dtype), wv.astype(y.dtype), biases)
     return _shard_over_batch(
         lambda y_, a, b_, c, e: _fused(
-            y_, a, b_, c, e, num_heads, sm_scale, causal, interpret
+            y_, a, b_, c, e, num_heads, sm_scale, causal, prefix, interpret
         ),
         y, wq, wk, wv, biases,
     )
@@ -241,7 +270,7 @@ def fused_qkv_attention(
 
 def _block_kernel(
     x_ref, wq_ref, wk_ref, wv_ref, wo_ref, vec_ref, o_ref,
-    *, num_heads, head_dim, lp, seq, causal, hchunk, eps,
+    *, num_heads, head_dim, lp, seq, causal, prefix, hchunk, eps,
 ):
     """One whole pre-LN attention sub-block per grid step.
 
@@ -285,12 +314,7 @@ def _block_kernel(
             k3, q3, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
-        krow = jax.lax.broadcasted_iota(jnp.int32, (1, lp, lp), 1)
-        valid = krow < seq
-        if causal:
-            qcol = jax.lax.broadcasted_iota(jnp.int32, (1, lp, lp), 2)
-            valid &= krow <= qcol
-        sT = jnp.where(valid, sT, NEG_INF)
+        sT = jnp.where(_tvalid(lp, seq, causal, prefix), sT, NEG_INF)
 
         m = jnp.max(sT, axis=1, keepdims=True)
         p = jnp.exp(sT - m)
@@ -310,8 +334,9 @@ def _block_kernel(
     o_ref[0] = out.astype(o_ref.dtype) + x
 
 
-def _block_reference(x, wq, wk, wv, wo, vec, num_heads, sm_scale, causal, eps):
-    """Unfused math-equivalent of the block kernel (backward pass)."""
+def _block_reference(x, wq, wk, wv, wo, vec, num_heads, sm_scale, causal, eps,
+                     prefix=0):
+    """Unfused math-equivalent of the block kernel (tests)."""
     b, l, d = x.shape
     hd = d // num_heads
     xf = x.astype(jnp.float32)
@@ -324,15 +349,16 @@ def _block_reference(x, wq, wk, wv, wo, vec, num_heads, sm_scale, causal, eps):
     k = (y @ wk + vec[3]).reshape(b, l, num_heads, hd)
     v = (y @ wv + vec[4]).reshape(b, l, num_heads, hd)
     s = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
-    if causal:
-        s = jnp.where(jnp.tril(jnp.ones((l, l), bool)), s, NEG_INF)
+    mask = _ref_mask(l, causal, prefix)
+    if mask is not None:
+        s = jnp.where(mask, s, NEG_INF)
     p = jax.nn.softmax(s, axis=-1).astype(x.dtype)
     o = jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(b, l, d)
     return x + (o @ wo + vec[5]).astype(x.dtype)
 
 
-def _block_fwd_impl(x, wq, wk, wv, wo, vec, num_heads, sm_scale, causal, eps,
-                    interpret):
+def _block_fwd_impl(x, wq, wk, wv, wo, vec, num_heads, sm_scale, causal,
+                    prefix, eps, interpret):
     from jax.experimental.pallas import tpu as pltpu
 
     b, l, d = x.shape
@@ -349,7 +375,7 @@ def _block_fwd_impl(x, wq, wk, wv, wo, vec, num_heads, sm_scale, causal, eps,
     out = pl.pallas_call(
         functools.partial(
             _block_kernel, num_heads=num_heads, head_dim=head_dim, lp=lp,
-            seq=l, causal=causal, hchunk=hchunk, eps=eps,
+            seq=l, causal=causal, prefix=prefix, hchunk=hchunk, eps=eps,
         ),
         grid=(b, 1, 1),
         in_specs=[
@@ -371,24 +397,26 @@ def _block_fwd_impl(x, wq, wk, wv, wo, vec, num_heads, sm_scale, causal, eps,
     return out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
-def _fused_block(x, wq, wk, wv, wo, vec, num_heads, sm_scale, causal, eps,
-                 interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
+def _fused_block(x, wq, wk, wv, wo, vec, num_heads, sm_scale, causal, prefix,
+                 eps, interpret):
     return _block_fwd_impl(x, wq, wk, wv, wo, vec, num_heads, sm_scale,
-                           causal, eps, interpret)
+                           causal, prefix, eps, interpret)
 
 
-def _fused_block_fwd(x, wq, wk, wv, wo, vec, num_heads, sm_scale, causal, eps,
-                     interpret):
+def _fused_block_fwd(x, wq, wk, wv, wo, vec, num_heads, sm_scale, causal,
+                     prefix, eps, interpret):
     out = _block_fwd_impl(x, wq, wk, wv, wo, vec, num_heads, sm_scale, causal,
-                          eps, interpret)
+                          prefix, eps, interpret)
     return out, (x, wq, wk, wv, wo, vec)
 
 
-def _fused_block_bwd(num_heads, sm_scale, causal, eps, interpret, res, g):
+def _fused_block_bwd(num_heads, sm_scale, causal, prefix, eps, interpret,
+                     res, g):
     x, wq, wk, wv, wo, vec = res
     return _block_bwd_impl(
-        x, wq, wk, wv, wo, vec, g, num_heads, sm_scale, causal, eps, interpret
+        x, wq, wk, wv, wo, vec, g, num_heads, sm_scale, causal, prefix, eps,
+        interpret
     )
 
 
@@ -407,19 +435,23 @@ def fused_mhsa_block(
     num_heads: int,
     sm_scale: float | None = None,
     causal: bool = False,
+    prefix_len: int = 0,
     eps: float = 1e-6,
     interpret: bool = False,
 ) -> jax.Array:
     """x + OutProj(MHA(LN(x))) in one Pallas kernel. x: (B, L, D).
 
-    Under a mesh with tensor>1 (and divisible heads) the tensor-parallel
-    head-sharded variant runs instead — see fused_mhsa_block_tp below.
+    `causal=True, prefix_len>0` applies the prefix-LM mask natively (the
+    caption decoder's concat-fusion mask). Under a mesh with tensor>1 (and
+    divisible heads) the tensor-parallel head-sharded variant runs instead —
+    see fused_mhsa_block_tp below.
     """
     d = x.shape[-1]
+    prefix = int(prefix_len) if causal else 0
     tp_out = fused_mhsa_block_tp(
         x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wo, bo,
-        num_heads=num_heads, sm_scale=sm_scale, causal=causal, eps=eps,
-        interpret=interpret,
+        num_heads=num_heads, sm_scale=sm_scale, causal=causal,
+        prefix_len=prefix, eps=eps, interpret=interpret,
     )
     if tp_out is not None:
         return tp_out
@@ -437,7 +469,8 @@ def fused_mhsa_block(
     ])
     return _shard_over_batch(
         lambda x_, a, b_, c, d_, v_: _fused_block(
-            x_, a, b_, c, d_, v_, num_heads, sm_scale, causal, eps, interpret
+            x_, a, b_, c, d_, v_, num_heads, sm_scale, causal, prefix, eps,
+            interpret
         ),
         x, wq, wk, wv, wo, vec,
     )
@@ -491,7 +524,7 @@ def _shard_over_batch(fn, x, *weights, extra_batched: int = 0, n_outs: int = 1):
 def _block_bwd_kernel(
     x_ref, g_ref, wq_ref, wk_ref, wv_ref, wo_ref, vec_ref,
     dx_ref, dwq_ref, dwk_ref, dwv_ref, dwo_ref, dvec_ref,
-    *, num_heads, head_dim, lp, seq, causal, hchunk, eps, sm_scale,
+    *, num_heads, head_dim, lp, seq, causal, prefix, hchunk, eps, sm_scale,
 ):
     """Backward of x + OutProj(MHA(LN(x))), one image per grid step.
 
@@ -555,12 +588,7 @@ def _block_bwd_kernel(
 
         sT = jax.lax.dot_general(k3, q3, (((1,), (1,)), ((0,), (0,))),
                                  preferred_element_type=jnp.float32)
-        krow = jax.lax.broadcasted_iota(jnp.int32, (1, lp, lp), 1)
-        valid = krow < seq
-        if causal:
-            qcol = jax.lax.broadcasted_iota(jnp.int32, (1, lp, lp), 2)
-            valid &= krow <= qcol
-        sT = jnp.where(valid, sT, NEG_INF)
+        sT = jnp.where(_tvalid(lp, seq, causal, prefix), sT, NEG_INF)
         m = jnp.max(sT, axis=1, keepdims=True)
         p = jnp.exp(sT - m)
         l = jnp.sum(p, axis=1, keepdims=True)
@@ -653,7 +681,7 @@ def _block_bwd_kernel(
 
 
 def _block_bwd_impl(x, wq, wk, wv, wo, vec, g, num_heads, sm_scale, causal,
-                    eps, interpret):
+                    prefix, eps, interpret):
     from jax.experimental.pallas import tpu as pltpu
 
     b, l, d = x.shape
@@ -664,7 +692,8 @@ def _block_bwd_impl(x, wq, wk, wv, wo, vec, g, num_heads, sm_scale, causal,
     outs = pl.pallas_call(
         functools.partial(
             _block_bwd_kernel, num_heads=num_heads, head_dim=head_dim, lp=lp,
-            seq=l, causal=causal, hchunk=hchunk, eps=eps, sm_scale=sm_scale,
+            seq=l, causal=causal, prefix=prefix, hchunk=hchunk, eps=eps,
+            sm_scale=sm_scale,
         ),
         grid=(b, 1, 1),
         in_specs=[
@@ -734,7 +763,7 @@ def _tp_info(num_heads: int):
 
 def _block_partial_kernel(
     x_ref, wq_ref, wk_ref, wv_ref, wo_ref, ln_ref, b_ref, o_ref,
-    *, num_heads, head_dim, lp, seq, causal, hchunk, eps,
+    *, num_heads, head_dim, lp, seq, causal, prefix, hchunk, eps,
 ):
     """Per-shard partial MHSA block: LN + local-head QKV + attention +
     partial out-proj. NO residual, NO bo (both applied after the psum).
@@ -772,12 +801,7 @@ def _block_partial_kernel(
         sT = jax.lax.dot_general(
             k3, q3, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
-        krow = jax.lax.broadcasted_iota(jnp.int32, (1, lp, lp), 1)
-        valid = krow < seq
-        if causal:
-            qcol = jax.lax.broadcasted_iota(jnp.int32, (1, lp, lp), 2)
-            valid &= krow <= qcol
-        sT = jnp.where(valid, sT, NEG_INF)
+        sT = jnp.where(_tvalid(lp, seq, causal, prefix), sT, NEG_INF)
         m = jnp.max(sT, axis=1, keepdims=True)
         p = jnp.exp(sT - m)
         l = jnp.sum(p, axis=1, keepdims=True)
@@ -795,7 +819,7 @@ def _block_partial_kernel(
 
 
 def _block_partial_fwd_impl(x, wq, wk, wv, wo, ln2, bqkv, num_heads, sm_scale,
-                            causal, eps, interpret):
+                            causal, prefix, eps, interpret):
     from jax.experimental.pallas import tpu as pltpu
 
     b, l, d = x.shape
@@ -810,7 +834,8 @@ def _block_partial_fwd_impl(x, wq, wk, wv, wo, ln2, bqkv, num_heads, sm_scale,
     return pl.pallas_call(
         functools.partial(
             _block_partial_kernel, num_heads=num_heads, head_dim=head_dim,
-            lp=lp, seq=l, causal=causal, hchunk=hchunk, eps=eps,
+            lp=lp, seq=l, causal=causal, prefix=prefix, hchunk=hchunk,
+            eps=eps,
         ),
         grid=(b, 1, 1),
         in_specs=[
@@ -833,8 +858,8 @@ def _block_partial_fwd_impl(x, wq, wk, wv, wo, ln2, bqkv, num_heads, sm_scale,
 
 
 def _block_partial_reference(x, wq, wk, wv, wo, ln2, bqkv, num_heads,
-                             sm_scale, causal, eps):
-    """jnp twin of the partial kernel (bwd + tests)."""
+                             sm_scale, causal, eps, prefix=0):
+    """jnp twin of the partial kernel (tests)."""
     b, l, d = x.shape
     dl = wq.shape[1]
     hd = dl // num_heads
@@ -847,8 +872,9 @@ def _block_partial_reference(x, wq, wk, wv, wo, ln2, bqkv, num_heads,
     v = (y @ wv + bqkv[2]).reshape(b, l, num_heads, hd)
     s = jnp.einsum("bqhd,bkhd->bhqk", q.astype(x.dtype), k.astype(x.dtype)
                    ).astype(jnp.float32)
-    if causal:
-        s = jnp.where(jnp.tril(jnp.ones((l, l), bool)), s, NEG_INF)
+    mask = _ref_mask(l, causal, prefix)
+    if mask is not None:
+        s = jnp.where(mask, s, NEG_INF)
     p = jax.nn.softmax(s, axis=-1).astype(x.dtype)
     o = jnp.einsum("bhqk,bkhd->bqhd", p, v.astype(x.dtype)).reshape(b, l, dl)
     return (o @ wo).astype(x.dtype)
@@ -857,7 +883,7 @@ def _block_partial_reference(x, wq, wk, wv, wo, ln2, bqkv, num_heads,
 def _block_partial_bwd_kernel(
     x_ref, g_ref, wq_ref, wk_ref, wv_ref, wo_ref, ln_ref, b_ref,
     dx_ref, dwq_ref, dwk_ref, dwv_ref, dwo_ref, dln_ref, db_ref,
-    *, num_heads, head_dim, lp, seq, causal, hchunk, eps, sm_scale,
+    *, num_heads, head_dim, lp, seq, causal, prefix, hchunk, eps, sm_scale,
 ):
     """Backward of the TP partial block OutProj_local(MHA_local(LN(x))) —
     the _block_bwd_kernel math generalized to rectangular weights
@@ -917,12 +943,7 @@ def _block_partial_bwd_kernel(
 
         sT = jax.lax.dot_general(k3, q3, (((1,), (1,)), ((0,), (0,))),
                                  preferred_element_type=jnp.float32)
-        krow = jax.lax.broadcasted_iota(jnp.int32, (1, lp, lp), 1)
-        valid = krow < seq
-        if causal:
-            qcol = jax.lax.broadcasted_iota(jnp.int32, (1, lp, lp), 2)
-            valid &= krow <= qcol
-        sT = jnp.where(valid, sT, NEG_INF)
+        sT = jnp.where(_tvalid(lp, seq, causal, prefix), sT, NEG_INF)
         m = jnp.max(sT, axis=1, keepdims=True)
         p = jnp.exp(sT - m)
         l = jnp.sum(p, axis=1, keepdims=True)
@@ -1002,7 +1023,7 @@ def _block_partial_bwd_kernel(
 
 
 def _block_partial_bwd_impl(x, g, wq, wk, wv, wo, ln2, bqkv, num_heads,
-                            sm_scale, causal, eps, interpret):
+                            sm_scale, causal, prefix, eps, interpret):
     from jax.experimental.pallas import tpu as pltpu
 
     b, l, d = x.shape
@@ -1014,8 +1035,8 @@ def _block_partial_bwd_impl(x, g, wq, wk, wv, wo, ln2, bqkv, num_heads,
     outs = pl.pallas_call(
         functools.partial(
             _block_partial_bwd_kernel, num_heads=num_heads,
-            head_dim=head_dim, lp=lp, seq=l, causal=causal, hchunk=hchunk,
-            eps=eps, sm_scale=sm_scale,
+            head_dim=head_dim, lp=lp, seq=l, causal=causal, prefix=prefix,
+            hchunk=hchunk, eps=eps, sm_scale=sm_scale,
         ),
         grid=(b, 1, 1),
         in_specs=[
@@ -1060,13 +1081,13 @@ def _tp_block_call(cfg, x, wq, wk, wv, wo, ln2, bqkv, bo):
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
-    mesh, baxes, t, num_heads, sm_scale, causal, eps, interpret = cfg
+    mesh, baxes, t, num_heads, sm_scale, causal, prefix, eps, interpret = cfg
     nh_l = num_heads // t
 
     def body(x, wq, wk, wv, wo, ln2, bqkv):
         part = _block_partial_fwd_impl(
-            x, wq, wk, wv, wo, ln2, bqkv, nh_l, sm_scale, causal, eps,
-            interpret)
+            x, wq, wk, wv, wo, ln2, bqkv, nh_l, sm_scale, causal, prefix,
+            eps, interpret)
         return jax.lax.psum(part, "tensor")
 
     out = shard_map(
@@ -1097,14 +1118,14 @@ def _tp_block_bwd(cfg, res, g):
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
-    mesh, baxes, t, num_heads, sm_scale, causal, eps, interpret = cfg
+    mesh, baxes, t, num_heads, sm_scale, causal, prefix, eps, interpret = cfg
     nh_l = num_heads // t
     x, wq, wk, wv, wo, ln2, bqkv = res
 
     def body(x, g, wq, wk, wv, wo, ln2, bqkv):
         dx_p, dwq, dwk, dwv, dwo, dln2_p, dbqkv = _block_partial_bwd_impl(
-            x, g, wq, wk, wv, wo, ln2, bqkv, nh_l, sm_scale, causal, eps,
-            interpret)
+            x, g, wq, wk, wv, wo, ln2, bqkv, nh_l, sm_scale, causal, prefix,
+            eps, interpret)
         dwq = dwq.astype(wq.dtype)
         dwk = dwk.astype(wk.dtype)
         dwv = dwv.astype(wv.dtype)
@@ -1140,7 +1161,8 @@ _tp_block.defvjp(_tp_block_fwd, _tp_block_bwd)
 
 def fused_mhsa_block_tp(
     x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wo, bo,
-    *, num_heads, sm_scale=None, causal=False, eps=1e-6, interpret=False,
+    *, num_heads, sm_scale=None, causal=False, prefix_len=0, eps=1e-6,
+    interpret=False,
 ):
     """Tensor-parallel x + OutProj(MHA(LN(x))): heads sharded over `tensor`.
 
@@ -1161,7 +1183,9 @@ def fused_mhsa_block_tp(
         for b in (bq, bk, bv)
     ])
     bo_f = (bo if bo is not None else zeros).astype(x.dtype)
-    cfg = (mesh, baxes, t, num_heads, sm_scale, causal, eps, interpret)
+    prefix = int(prefix_len) if causal else 0
+    cfg = (mesh, baxes, t, num_heads, sm_scale, causal, prefix, eps,
+           interpret)
     return _tp_block(cfg, x, wq.astype(x.dtype), wk.astype(x.dtype),
                      wv.astype(x.dtype), wo.astype(x.dtype), ln2, bqkv, bo_f)
 
@@ -1179,12 +1203,12 @@ def _tp_qkv_call(cfg, y, wq, wk, wv, biases):
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
-    mesh, baxes, t, num_heads, sm_scale, causal, interpret = cfg
+    mesh, baxes, t, num_heads, sm_scale, causal, prefix, interpret = cfg
     nh_l = num_heads // t
 
     def body(y, wq, wk, wv, biases):
         return _fused_fwd_impl(y, wq, wk, wv, biases, nh_l, sm_scale, causal,
-                               interpret)
+                               prefix, interpret)
 
     return shard_map(
         body, mesh=mesh,
@@ -1208,14 +1232,14 @@ def _tp_qkv_bwd(cfg, res, g):
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
-    mesh, baxes, t, num_heads, sm_scale, causal, interpret = cfg
+    mesh, baxes, t, num_heads, sm_scale, causal, prefix, interpret = cfg
     nh_l = num_heads // t
     y, wq, wk, wv, biases = res
 
     def body(y, g, wq, wk, wv, biases):
         _, vjp = jax.vjp(
             lambda y_, a, b_, c, bias: _reference(
-                y_, a, b_, c, bias, nh_l, sm_scale, causal),
+                y_, a, b_, c, bias, nh_l, sm_scale, causal, prefix),
             y, wq, wk, wv, biases,
         )
         dy_p, dwq, dwk, dwv, dbias = vjp(g)

@@ -21,7 +21,8 @@ import numpy as np
 
 
 def bench_impl(attn_impl: str, steps: int = 3, batch: int = 32,
-               res: int = 224, remat: str = "minimal") -> float:
+               res: int = 224, remat: str = "minimal",
+               dec_attn: str = "auto") -> float:
     from openvision_tpu.configs import openvision as cfg_mod
     from openvision_tpu.parallel import create_mesh
     from openvision_tpu.train import step as step_mod
@@ -31,7 +32,7 @@ def bench_impl(attn_impl: str, steps: int = 3, batch: int = 32,
     c = cfg_mod.get_config(
         f"res={res},img=L/14,txt_name=B,txt_decoder_name=B,token_len=80,"
         f"output_token_len=128,remat={remat},attn_impl={attn_impl},"
-        f"dtype=bfloat16,param_dtype=bfloat16"
+        f"dec_attn_impl={dec_attn},dtype=bfloat16,param_dtype=bfloat16"
     )
     c.input.batch_size = batch
     c.init_shapes = [(batch, res, res, 3), (2 * batch, 80)]
@@ -81,7 +82,8 @@ def _timed(fn, *args) -> float:
 
 
 if __name__ == "__main__":
-    # entries: "impl[:res[:batch[:remat]]]", e.g. "flash:336:16:full"
+    # entries: "impl[:res[:batch[:remat[:dec_attn]]]]",
+    # e.g. "flash:336:16:full" or "fused:224:32:none:flash"
     impls = sys.argv[1:] or ["fused_t", "fused"]
     for entry in impls:
         parts = entry.split(":")
@@ -89,5 +91,7 @@ if __name__ == "__main__":
         res = int(parts[1]) if len(parts) > 1 else 224
         batch = int(parts[2]) if len(parts) > 2 else 32
         remat = parts[3] if len(parts) > 3 else "minimal"
-        ips = bench_impl(impl, res=res, batch=batch, remat=remat)
+        dec_attn = parts[4] if len(parts) > 4 else "auto"
+        ips = bench_impl(impl, res=res, batch=batch, remat=remat,
+                         dec_attn=dec_attn)
         print(f"{entry}: {ips:.1f} img/s/chip", flush=True)

@@ -149,7 +149,7 @@ def test_fused_block_nonzero_biases_match_reference():
     vec = jnp.stack([ln_s, ln_b, bq, bk, bv, bo, jnp.zeros(d), jnp.zeros(d)])
 
     out_kernel = _block_fwd_impl(
-        x, wq, wk, wv, wo, vec, heads, sm, False, 1e-6, True)
+        x, wq, wk, wv, wo, vec, heads, sm, False, 0, 1e-6, True)
     out_ref = _block_reference(x, wq, wk, wv, wo, vec, heads, sm, False, 1e-6)
     np.testing.assert_allclose(
         np.asarray(out_kernel), np.asarray(out_ref), atol=2e-4, rtol=2e-4)
@@ -171,3 +171,76 @@ def test_fused_block_nonzero_biases_match_reference():
     expected = x + (o @ wo + bo)
     np.testing.assert_allclose(
         np.asarray(out_block), np.asarray(expected), atol=2e-4, rtol=2e-4)
+
+
+@pytest.mark.parametrize("l,prefix", [(20, 7), (150, 129), (20, 1)])
+def test_fused_block_prefix_lm_matches_reference(l, prefix):
+    """Prefix-LM fused MHSA block (causal=True, prefix_len>0) must equal the
+    jnp reference under the explicit prefix mask — forward and all grads
+    (the caption decoder's concat-fusion mask, models/encoder.py:41)."""
+    from openvision_tpu.ops.fused_attention import (
+        _block_reference,
+        fused_mhsa_block,
+    )
+
+    d, heads = 16, 2
+    ks = jax.random.split(jax.random.PRNGKey(11), 8)
+    x = jax.random.normal(ks[0], (2, l, d))
+    wq, wk, wv, wo = (jax.random.normal(k, (d, d)) * 0.1 for k in ks[1:5])
+    ln_s = 1.0 + 0.1 * jax.random.normal(ks[5], (d,))
+    ln_b = 0.1 * jax.random.normal(ks[6], (d,))
+    g_out = jax.random.normal(ks[7], (2, l, d))
+
+    def loss_fused(x, wq, wk, wv, wo, ln_s, ln_b):
+        out = fused_mhsa_block(
+            x, ln_s, ln_b, wq, None, wk, None, wv, None, wo, None,
+            num_heads=heads, causal=True, prefix_len=prefix, interpret=True,
+        )
+        return jnp.sum(out * g_out)
+
+    def loss_ref(x, wq, wk, wv, wo, ln_s, ln_b):
+        vec = jnp.stack([ln_s, ln_b] + [jnp.zeros((d,))] * 6)
+        out = _block_reference(
+            x, wq, wk, wv, wo, vec, heads, (d // heads) ** -0.5, True, 1e-6,
+            prefix=prefix,
+        )
+        return jnp.sum(out * g_out)
+
+    args = (x, wq, wk, wv, wo, ln_s, ln_b)
+    v1, g1 = jax.value_and_grad(loss_fused, argnums=tuple(range(7)))(*args)
+    v2, g2 = jax.value_and_grad(loss_ref, argnums=tuple(range(7)))(*args)
+    np.testing.assert_allclose(float(v1), float(v2), atol=2e-4, rtol=2e-4)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-4)
+
+
+def test_fused_qkv_prefix_lm_matches_reference():
+    """The QKV-level fused kernel's native prefix-LM mask, fwd + grads."""
+    prefix = 9
+    y, wq, wk, wv, bq, bk, bv = _inputs(l=30)
+    biases = jnp.stack([bq, bk, bv])
+
+    out = fused_qkv_attention(
+        y, wq, wk, wv, bq, bk, bv, num_heads=4, causal=True,
+        prefix_len=prefix, interpret=True)
+    ref = _reference(y, wq, wk, wv, biases, 4, (64 // 4) ** -0.5, True,
+                     prefix=prefix)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-2, rtol=2e-2)
+
+    def loss_fused(y, wq):
+        return jnp.sum(fused_qkv_attention(
+            y, wq, wk, wv, bq, bk, bv, num_heads=4, causal=True,
+            prefix_len=prefix, interpret=True).astype(jnp.float32) ** 2)
+
+    def loss_ref(y, wq):
+        return jnp.sum(_reference(
+            y, wq, wk, wv, biases, 4, 4.0 ** -1, True, prefix=prefix
+        ).astype(jnp.float32) ** 2)
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1))(y, wq)
+    g2 = jax.grad(loss_ref, argnums=(0, 1))(y, wq)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-2, rtol=5e-2)

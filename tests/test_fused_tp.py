@@ -241,3 +241,31 @@ def test_tp_block_backward_is_pallas():
         f"expected fwd+bwd Pallas kernels in the TP grad jaxpr, found "
         f"{n_pallas} pallas_call(s)"
     )
+
+
+def test_tp_block_prefix_lm_matches_unsharded():
+    """Head-sharded TP fused block with the native prefix-LM mask: values +
+    grads must match the unsharded kernel (the caption decoder under TP)."""
+    x, p = _args()
+
+    def block(x, p):
+        lns, lnb, wq, bq, wk, bk, wv, bv, wo, bo = p
+        return fused_mhsa_block(
+            x, lns, lnb, wq, bq, wk, bk, wv, bv, wo, bo,
+            num_heads=4, causal=True, prefix_len=7, interpret=True)
+
+    def loss(x, p):
+        return jnp.sum(block(x, p) ** 2)
+
+    ref = block(x, p)
+    gref = jax.grad(loss, argnums=(0, 1))(x, p)
+    mesh = create_mesh(data=2, fsdp=2, tensor=2)
+    xs = jax.device_put(x, batch_sharding(mesh))
+    with use_mesh(mesh):
+        out = jax.jit(block)(xs, p)
+        gtp = jax.jit(jax.grad(loss, argnums=(0, 1)))(xs, p)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                               atol=1e-5, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(gref), jax.tree.leaves(gtp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=5e-5)

@@ -186,3 +186,17 @@ def test_config_auto_attn_respects_pipe_parallelism():
         "output_token_len=8,runlocal=True,remat=none,attn_impl=auto"
     )
     assert c.model.image.attn_impl == "fused"
+
+
+def test_config_dec_attn_resolution():
+    """dec_attn_impl=auto resolves the caption decoder to the fused MHSA
+    block kernel (native prefix-LM mask), EXCEPT under pipeline parallelism
+    (a pallas_call cannot ride the pipe shard_map ring)."""
+    base = ("res=224,img=mu/16,txt_name=Ti,txt_decoder_name=Ti,token_len=16,"
+            "output_token_len=8,runlocal=True,remat=none,attn_impl=auto")
+    c = cfg_mod.get_config(base)
+    assert c.model.text_decoder_config.attn_impl == "fused"
+    c = cfg_mod.get_config(base + ",pipe_parallelism=2")
+    assert c.model.text_decoder_config.attn_impl == "xla"
+    c = cfg_mod.get_config(base + ",dec_attn_impl=xla")
+    assert c.model.text_decoder_config.attn_impl == "xla"
