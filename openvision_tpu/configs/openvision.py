@@ -120,17 +120,18 @@ def get_config(arg: str | None = None) -> ConfigDict:
     c.pp_modules = ["ops_general", "ops_image", "ops_text", "bert_ops"]
 
     # ----- model -----
-    # "auto" attention: fused Pallas blocks for the image tower whenever the
-    # sequence is long (res >= 336: +19% over xla at 577 tokens) OR remat is
-    # off (the fused fwd+bwd kernels beat XLA's own fused backward when
-    # nothing is rematerialized: 159.7 vs 150.1 img/s L/14@224 bs32); under
-    # remat=minimal at 224 they tie, so xla keeps the simpler HLO. Text and
-    # decoder towers are short-sequence → xla. Measurements in
-    # docs/PERF_NOTES.md ("Training-step ladder, round 3").
+    # "auto" attention: fused Pallas blocks for the image tower. Measured
+    # L/14 ladders (docs/PERF_NOTES.md "Training-step ladder, round 3"):
+    # +19% over xla at 336px/577 tok; at 224 fused wins outright with
+    # remat=none (159.7 vs 150.1 bs32) and under remat=minimal ties at bs32
+    # (152.9 vs 153.8) but wins +22% at bs64 (162.2 vs 132.8 — XLA's fused
+    # backward spills as the batch grows, the Pallas kernels don't), so
+    # fused is the uniform pick. The text tower is short-sequence → xla;
+    # the caption decoder resolves separately below (dec_attn_impl).
     img_attn = arg.attn_impl
     txt_attn = arg.attn_impl
     if arg.attn_impl == "auto":
-        img_attn = "fused" if (arg.res >= 336 or arg.remat == "none") else "xla"
+        img_attn = "fused"
         txt_attn = "xla"
         if arg.pipe_parallelism > 1:
             # pipeline parallelism rotates activations through a shard_map

@@ -49,9 +49,9 @@ def test_config_parallelism_args():
 
 
 def test_auto_attn_impl_resolution():
-    """attn_impl=auto: fused Pallas image attention at >=336px (577+
-    tokens, +19% train step vs xla), xla below; text towers always xla
-    (VERDICT r2 #8)."""
+    """attn_impl=auto: fused Pallas image attention everywhere (+19% at
+    336px, ties bs32 / +22% bs64 at 224px minimal, +6% at remat=none —
+    PERF_NOTES round-3 ladders); text towers always xla (VERDICT r2 #8)."""
     from openvision_tpu.configs import openvision as cfg_mod
 
     hi = cfg_mod.get_config("res=336,img=L/14,runlocal=True")
@@ -59,11 +59,9 @@ def test_auto_attn_impl_resolution():
     assert hi.model.text.attn_impl == "xla"
 
     lo = cfg_mod.get_config("res=224,img=L/14,runlocal=True")
-    assert lo.model.image.attn_impl == "xla"
+    assert lo.model.image.attn_impl == "fused"
     assert lo.model.text.attn_impl == "xla"
 
-    # remat=none: fused wins at 224 too (159.7 vs 150.1 img/s, PERF_NOTES
-    # "Training ladder at remat=none, round 3")
     nr = cfg_mod.get_config("res=224,img=L/14,runlocal=True,remat=none")
     assert nr.model.image.attn_impl == "fused"
     assert nr.model.text.attn_impl == "xla"
