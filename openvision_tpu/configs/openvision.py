@@ -249,6 +249,11 @@ def get_config(arg: str | None = None) -> ConfigDict:
     c.clip_loss_weight = 1.0
     c.local_loss = True
     c.cpu_unit8 = True
+    # grad_accum > 1 microbatches the step (exact to the big-batch step via
+    # embedding-gradient caching — train/step.py:_make_update_fn_accum).
+    # Lets the 32k pretrain recipe run on meshes far smaller than the
+    # reference's 128-way DP floor (train.sh:18-29), at ~+30% step time.
+    c.grad_accum = 1
 
     # ----- evals -----
     c.eval_only = False

@@ -204,6 +204,7 @@ def linear_softmax_xent(
     labels: jax.Array,
     mask: Optional[jax.Array] = None,
     chunk: int = 16,
+    normalize: bool = True,
 ):
     """Caption cross-entropy FUSED with the vocab head.
 
@@ -245,6 +246,10 @@ def linear_softmax_xent(
         return carry + jnp.sum(nll * m_c), None
 
     total, _ = jax.lax.scan(body, jnp.float32(0), (hs, ls, ms))
+    if not normalize:
+        # sum form for gradient accumulation: the caller divides by the
+        # GLOBAL mask sum so microbatch sums add up to the big-batch loss.
+        return total
     return total / (jnp.sum(mask) + 1e-8)
 
 

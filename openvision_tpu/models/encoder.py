@@ -124,6 +124,13 @@ class EncoderBlock(nn.Module):
         # in one Pallas kernel (2x the XLA sub-block on v5e). Applies to the
         # common CLIP case: self-attn, no LayerScale, no external mask, and
         # no active dropout/drop-path on the attention branch.
+        # Degenerate sequences stay on XLA when running on real hardware: the
+        # kernel tiles the sequence to 128 lanes, so a handful of tokens pays
+        # >4x padding waste (XLA wins there anyway) and, at ~5 tokens inside
+        # a grad-accum scan, crashes the AOT Mosaic compiler outright
+        # (observed on v5e). Interpret-mode (CPU tests) keeps tiny shapes so
+        # the kernels stay exercised by the unit suite.
+        on_accel = jax.devices()[0].platform in ("tpu", "axon")
         use_block_fusion = (
             self.attn_impl == "fused"
             and mask is None
@@ -131,6 +138,7 @@ class EncoderBlock(nn.Module):
             and not self.use_dense_general
             and self.init_values is None
             and (deterministic or (self.dropout == 0.0 and self.drop_path == 0.0))
+            and (not on_accel or x.shape[1] >= 32)
         )
         if use_block_fusion:
             x = self._fused_attn_subblock(x, inits, causal, prefix_len)
@@ -555,10 +563,15 @@ class Encoder(nn.Module):
         if mesh is not None and mesh.shape.get("tensor", 1) > 1:
             return False
         inits = _make_inits(self.init_style, x.shape[-1], self.depth)
+        on_accel = jax.devices()[0].platform in ("tpu", "axon")
         return (
             self.attn_impl == "fused_t"
             and x.ndim == 3
             and x.shape[1] >= 2
+            # same degenerate-sequence guard as the fused block path (the
+            # transposed stream pads patches to 128 lanes); falls back to
+            # "fused", whose own guard cascades tiny shapes onto XLA.
+            and (not on_accel or x.shape[1] >= 32)
             and not self.causal
             and self.prefix_len == 0
             and not self.decode

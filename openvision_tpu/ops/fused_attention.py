@@ -31,6 +31,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 
 NEG_INF = -1e30
@@ -502,6 +503,11 @@ def _shard_over_batch(fn, x, *weights, extra_batched: int = 0, n_outs: int = 1):
         return fn(x, *weights)
     batch_axes = tuple(a for a in ("data", "fsdp") if a in mesh.axis_names)
     if not batch_axes:
+        return fn(x, *weights)
+    n_shards = int(np.prod([mesh.shape[a] for a in batch_axes]))
+    if x.shape[0] % n_shards:
+        # Degenerate batch (e.g. a grad-accum microbatch smaller than the
+        # mesh's batch axes): run unsharded; GSPMD replicates the compute.
         return fn(x, *weights)
     out_specs = P(batch_axes) if n_outs == 1 else tuple(
         P(batch_axes) for _ in range(n_outs))

@@ -36,6 +36,20 @@ IMAGENET_MEAN = (0.485 * 255, 0.456 * 255, 0.406 * 255)
 IMAGENET_STD = (0.229 * 255, 0.224 * 255, 0.225 * 255)
 
 
+def _l2_norm(leaves) -> jax.Array:
+    """Global l2 over a list of arrays with forced f32 accumulation.
+
+    `jnp.vdot(g, g)` on bf16 leaves accumulates partial sums in bf16, making
+    the reference-parity telemetry ~1% sensitive to mesh layout / reduction
+    order (measured, tests/test_fused_tp.py). Casting inside the reduction
+    fuses to a single read of the bf16 buffer with an f32 accumulator — no
+    extra bandwidth, layout-stable to f32 resolution.
+    """
+    return jnp.sqrt(
+        sum(jnp.sum(jnp.square(x.astype(jnp.float32))) for x in leaves)
+    )
+
+
 def normalize_uint8(images: jax.Array) -> jax.Array:
     mean = jnp.asarray(IMAGENET_MEAN)[None, None, None, :]
     std = jnp.asarray(IMAGENET_STD)[None, None, None, :]
@@ -100,10 +114,33 @@ def init_train_state(
     return train_state, state_sharding, tx, sched_fns
 
 
+def _microbatch(x: jax.Array, accum: int) -> jax.Array:
+    """Split the batch dim into (accum, B/accum) with a STRIDED assignment.
+
+    Microbatch i gets rows x[i::accum]. Written as reshape(B -> (m, accum))
+    + swapaxes so that, with dim 0 batch-sharded, both ops are device-local
+    (each device's contiguous B/s rows form whole (m/s, accum) blocks) — no
+    collective is inserted, unlike the contiguous split x[i*m:(i+1)*m] whose
+    slices straddle shard boundaries. Rows are i.i.d. samples, so the
+    assignment is free to choose; losses are permutation-invariant.
+    """
+    m = x.shape[0] // accum
+    return x.reshape(m, accum, *x.shape[1:]).swapaxes(0, 1)
+
+
 def make_update_fn(
     config, model: nn.Module, tx: optax.GradientTransformation, mesh: Mesh
 ) -> Callable:
-    """Builds the jitted train step (donates train_state)."""
+    """Builds the jitted train step (donates train_state).
+
+    With config.grad_accum > 1 the step microbatches the forward/backward
+    while keeping the loss EXACT to the big-batch step (see
+    _make_update_fn_accum).
+    """
+    if int(config.get("grad_accum", 1) or 1) > 1:
+        return _make_update_fn_accum(
+            config, model, tx, mesh, int(config.grad_accum)
+        )
     loss_type = config.get("loss_type", "coca")
     loss_mode = "local" if config.get("local_loss", True) else "global"
     clip_w = config.get("clip_loss_weight", 1.0)
@@ -219,15 +256,254 @@ def make_update_fn(
         live_grads = jax.tree.leaves(
             optim.replace_frozen(config.get("schedule"), grads, 0.0)
         )
-        measurements["l2_grads"] = jnp.sqrt(
-            sum(jnp.vdot(g, g) for g in live_grads)
+        measurements["l2_grads"] = _l2_norm(live_grads)
+        measurements["l2_params"] = _l2_norm(jax.tree.leaves(params))
+        measurements["l2_updates"] = _l2_norm(jax.tree.leaves(updates))
+        return {"params": params, "opt": opt}, measurements
+
+    return update_fn
+
+
+def _make_update_fn_accum(
+    config,
+    model: nn.Module,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    accum: int,
+) -> Callable:
+    """Gradient accumulation that is EXACT to the big-batch step.
+
+    Plain microbatch-and-average is wrong for contrastive losses: the
+    softmax normalizes over the whole batch's negatives, so per-microbatch
+    CLIP losses are a different (weaker) objective. This implements the
+    embedding-gradient-caching construction (GradCache, arXiv:2101.06983)
+    as two lax.scan passes, beyond the reference (which can only reach its
+    32k batch recipe with 128-way data parallelism, train.sh:18-29):
+
+      pass 1  scan microbatches, forward ONLY the towers (the decoder is
+              dead code here and XLA eliminates it), stack the normalized
+              embeddings — activations for one microbatch live at a time.
+      bridge  full-batch contrastive loss ON THE EMBEDDINGS (a BxB matmul,
+              tiny) + jax.grad of it wrt the stacked embeddings and the
+              temperature/bias params.
+      pass 2  scan microbatches again; per microbatch, jax.vjp of the
+              forward (towers + decoder + sum-form caption xent) with the
+              embedding cotangents from the bridge and the caption
+              cotangent cap_w / global_mask_sum; accumulate param grads
+              in f32.
+
+    Gradients equal the accum=1 step to float32 resolution (the caption
+    sum splits exactly; the contrastive term factors through the cached
+    embeddings by the chain rule). Cost: one extra tower forward per
+    microbatch (~+30% step time), memory: one microbatch of activations.
+
+    RNG: dropout/drop-path/masking keys fold in the microbatch index, so
+    stochastic-layer patterns differ from the accum=1 step (same
+    distribution); with the recipe's rate-0 defaults the steps are
+    identical.
+    """
+    loss_type = config.get("loss_type", "coca")
+    loss_mode = "local" if config.get("local_loss", True) else "global"
+    clip_w = config.get("clip_loss_weight", 1.0)
+    cap_w = config.get("coca_caption_loss_weight", 2.0)
+    cap_chunk = config.get("cap_xent_chunk", 16)
+    cpu_uint8 = config.get("cpu_unit8", False)
+    coca = loss_type == "coca"
+    w_clip = clip_w if coca else 1.0
+
+    def update_fn(train_state, batch, rng):
+        # Same input resharding rationale as the accum=1 step.
+        batch = {
+            k: (
+                v
+                if k == "image"
+                else jax.lax.with_sharding_constraint(
+                    v, NamedSharding(mesh, P(("data", "fsdp")))
+                )
+            )
+            for k, v in batch.items()
+        }
+        params, opt = train_state["params"], train_state["opt"]
+        step_count = optim.get_count(train_state["opt"], jittable=True)
+        rng = jax.random.fold_in(rng, step_count)
+
+        b_global = batch["image"].shape[0]
+        assert b_global % accum == 0, (
+            f"grad_accum={accum} must divide the global batch {b_global}"
         )
-        measurements["l2_params"] = jnp.sqrt(
-            sum(jnp.vdot(p, p) for p in jax.tree.leaves(params))
+        m = b_global // accum
+
+        keys = ["image", "labels1", "labels2"]
+        if coca:
+            keys += ["autoreg_labels", "cap_loss_mask"]
+        mb_spec = {
+            "image": NamedSharding(mesh, P(None, ("data", "fsdp", "tensor"))),
+        }
+        mbs = {
+            k: jax.lax.with_sharding_constraint(
+                _microbatch(batch[k], accum),
+                mb_spec.get(k, NamedSharding(mesh, P(None, ("data", "fsdp")))),
+            )
+            for k in keys
+        }
+
+        def fwd_core(p, mb, i):
+            r = jax.random.fold_in(rng, i)
+            imgs = mb["image"]
+            if cpu_uint8:
+                imgs = normalize_uint8(imgs)
+            labels = jnp.concatenate([mb["labels1"], mb["labels2"]], axis=0)
+            zimg, ztxt, out = model.apply(
+                {"params": p},
+                imgs,
+                labels,
+                train=True,
+                rngs={"dropout": r, "drop_path": r, "random_mask": r},
+            )
+            aux = {
+                "t": out["t"],
+                "t/parameter": out["t/parameter"],
+                "nimg": jnp.mean(out["img/norm"]),
+                "ntxt": jnp.mean(out["txt/norm"]),
+            }
+            return zimg, ztxt, out, aux
+
+        def cap_sum_fn(p, out, mb):
+            """Sum-form caption xent (divided by the GLOBAL mask sum later)."""
+            if out.get("cap_prelogits") is not None:
+                kernel = p["txt_decoder"]["head"]["kernel"]
+                n_batch_shards = mesh.shape.get("data", 1) * mesh.shape.get(
+                    "fsdp", 1
+                )
+                rows = -(-mb["autoreg_labels"].shape[0] // n_batch_shards)
+                chunk = max(
+                    1, min(cap_chunk, (32 << 20) // (rows * kernel.shape[1]))
+                )
+                return losses.linear_softmax_xent(
+                    prelogits=out["cap_prelogits"],
+                    kernel=kernel,
+                    labels=mb["autoreg_labels"],
+                    mask=mb["cap_loss_mask"],
+                    chunk=chunk,
+                    normalize=False,
+                )
+            if out.get("logits") is not None:
+                nll = losses.softmax_xent(
+                    logits=out["logits"],
+                    labels=mb["autoreg_labels"],
+                    reduction=False,
+                )
+                return jnp.sum(nll * mb["cap_loss_mask"])
+            return jnp.float32(0)
+
+        # ---- pass 1: cache embeddings (decoder output unused -> DCE'd) ----
+        def p1_body(_, xs):
+            mb, i = xs
+            zimg, ztxt, _out, aux = fwd_core(params, mb, i)
+            return None, (zimg, ztxt, aux)
+
+        _, (zimgs, ztxts, auxs) = jax.lax.scan(
+            p1_body, None, (mbs, jnp.arange(accum))
         )
-        measurements["l2_updates"] = jnp.sqrt(
-            sum(jnp.vdot(u, u) for u in jax.tree.leaves(updates))
+        measurements = jax.tree.map(lambda x: jnp.mean(x, axis=0), auxs)
+
+        # ---- bridge: full-batch loss over the cached embeddings ----
+        flat_spec = NamedSharding(mesh, P(("data", "fsdp"), None))
+        zflat = jax.lax.with_sharding_constraint(
+            zimgs.reshape(b_global, -1), flat_spec
         )
+        v1 = jax.lax.with_sharding_constraint(
+            ztxts[:, :m, :].reshape(b_global, -1), flat_spec
+        )
+        v2 = jax.lax.with_sharding_constraint(
+            ztxts[:, m:, :].reshape(b_global, -1), flat_spec
+        )
+
+        def emb_loss(zi, za, zb, t_param, b_param):
+            t = jnp.exp(t_param)  # the model's out["t"]
+            if loss_type == "siglip":
+                per_view = [
+                    losses.siglip_loss(
+                        zi, v, t, b_param, mesh=mesh, mode=loss_mode
+                    )[0]
+                    for v in (za, zb)
+                ]
+                return sum(per_view) / 2, {}
+            return losses.bidirectional_contrastive_loss(
+                zi, [za, zb], t, mode=loss_mode, mesh=mesh
+            )
+
+        b_param = params.get("b", jnp.zeros((1,), jnp.float32))
+        (l_clip, l_extras), (g_zi, g_v1, g_v2, g_t, g_b) = jax.value_and_grad(
+            emb_loss, argnums=(0, 1, 2, 3, 4), has_aux=True
+        )(zflat, v1, v2, params["t"], b_param)
+
+        g_zimgs = g_zi.reshape(accum, m, -1)
+        g_ztxts = jnp.concatenate(
+            [g_v1.reshape(accum, m, -1), g_v2.reshape(accum, m, -1)], axis=1
+        )
+
+        mask_sum = (
+            jnp.sum(batch["cap_loss_mask"]) + 1e-8 if coca else jnp.float32(1)
+        )
+        cap_cot = jnp.float32(cap_w) / mask_sum if coca else jnp.float32(0)
+
+        # ---- pass 2: per-microbatch VJP with embedding cotangents ----
+        def p2_body(gacc, xs):
+            mb, i, gz, gt = xs
+
+            def f(p):
+                zimg, ztxt, out, _aux = fwd_core(p, mb, i)
+                cap = cap_sum_fn(p, out, mb) if coca else jnp.float32(0)
+                return zimg, ztxt, cap
+
+            (_, _, cap_sum), vjp_fn = jax.vjp(f, params)
+            (gp,) = vjp_fn(
+                (w_clip * gz, w_clip * gt, cap_cot.astype(cap_sum.dtype))
+            )
+            # accumulate in f32 regardless of param dtype: bf16 partial sums
+            # would drift from the big-batch single-backward gradient.
+            return (
+                jax.tree.map(
+                    lambda a, g: a + g.astype(jnp.float32), gacc, gp
+                ),
+                cap_sum,
+            )
+
+        zero_grads = jax.tree.map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), params
+        )
+        grads, cap_sums = jax.lax.scan(
+            p2_body, zero_grads, (mbs, jnp.arange(accum), g_zimgs, g_ztxts)
+        )
+        # temperature/bias grads flow through the bridge, not the towers.
+        grads["t"] = grads["t"] + w_clip * g_t
+        if "b" in grads:
+            grads["b"] = grads["b"] + w_clip * g_b
+        # back to param dtype for the optimizer (apply_updates must not
+        # silently promote bf16 params to f32).
+        grads = jax.tree.map(lambda g, p: g.astype(p.dtype), grads, params)
+
+        if coca:
+            cap_l = jnp.sum(cap_sums) / mask_sum
+            measurements.update(
+                l_extras, clip_loss=l_clip, caption_loss=cap_l
+            )
+            l = clip_w * l_clip + cap_w * cap_l
+        else:
+            measurements.update(l_extras)
+            l = l_clip
+
+        updates, opt = tx.update(grads, opt, params)
+        params = optax.apply_updates(params, updates)
+
+        measurements["training_loss"] = l
+        live_grads = jax.tree.leaves(
+            optim.replace_frozen(config.get("schedule"), grads, 0.0)
+        )
+        measurements["l2_grads"] = _l2_norm(live_grads)
+        measurements["l2_params"] = _l2_norm(jax.tree.leaves(params))
+        measurements["l2_updates"] = _l2_norm(jax.tree.leaves(updates))
         return {"params": params, "opt": opt}, measurements
 
     return update_fn

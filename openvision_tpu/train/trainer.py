@@ -153,7 +153,40 @@ def build_evaluators(config, model, mesh, writer, note=print):
     return eval_common.from_config(config, model, mesh, on_error=on_error)
 
 
+def _install_preemption_flag():
+    """SIGTERM sets a flag checked at step boundaries (single-process path).
+
+    Spot/preemptible TPU VMs get a SIGTERM grace window before shutdown; the
+    reference's only defense is resume-from-workdir after losing the steps
+    since the last periodic checkpoint (main_clip.py:502-547 + the spot
+    create-retry loop). Multi-process coordination instead rides Orbax's
+    `reached_preemption` (the JAX coordination service agrees on a sync
+    point), so every host saves the SAME step.
+    """
+    import signal
+
+    flag = {"hit": False}
+
+    def _handler(signum, frame):
+        flag["hit"] = True
+
+    try:
+        signal.signal(signal.SIGTERM, _handler)
+    except ValueError:
+        pass  # not the main thread (e.g. under a test runner)
+    return flag
+
+
 def train(config, workdir: Optional[str] = None):
+    # Persistent XLA compilation cache (beyond reference): repeat launches —
+    # resume after preemption, curriculum stages, eval_only sweeps — skip the
+    # multi-minute compile of the donated train step.
+    cache_dir = config.get("compilation_cache_dir") or os.environ.get(
+        "OPENVISION_COMPILATION_CACHE"
+    )
+    if cache_dir:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+
     rng = jax.random.PRNGKey(config.get("seed", 0))
     writer = MetricWriter(workdir, config)
 
@@ -291,6 +324,21 @@ def train(config, workdir: Optional[str] = None):
     prof_start = config.get("profile_start_step", 0)
     prof_stop = config.get("profile_stop_step", 0)
 
+    preempt = _install_preemption_flag()
+
+    def _save_now(step):
+        chrono.pause(wait_for=jax.tree.leaves(train_state["params"]))
+        sync("save_ckpt")
+        ckpt_lib.save_train_state(ckpt_mngr, step, train_state)
+        if chrono_path and jax.process_index() == 0:
+            import json as _json
+
+            with open(chrono_path, "w") as f:
+                _json.dump(
+                    {k: float(v) for k, v in chrono.save().items()}, f
+                )
+        chrono.resume()
+
     note("starting training loop")
     for step, batch in zip(range(first_step + 1, total_steps + 1), train_iter):
         if step == first_step + 1:
@@ -318,15 +366,24 @@ def train(config, workdir: Optional[str] = None):
             sync("reporting")
 
         if ckpt_mngr and _should(step, ckpt_every, total_steps):
-            chrono.pause(wait_for=jax.tree.leaves(train_state["params"]))
-            sync("save_ckpt")
-            ckpt_lib.save_train_state(ckpt_mngr, step, train_state)
-            if chrono_path and jax.process_index() == 0:
-                import json as _json
+            _save_now(step)
 
-                with open(chrono_path, "w") as f:
-                    _json.dump({k: float(v) for k, v in chrono.save().items()}, f)
-            chrono.resume()
+        # Preemption (SIGTERM grace window): checkpoint THIS step and exit
+        # cleanly so the resume path loses zero work. Multi-process agreement
+        # comes from Orbax's coordination-service sync point; the local
+        # signal flag covers single-process runs.
+        preempted = preempt["hit"] or (
+            ckpt_mngr is not None
+            and jax.process_count() > 1
+            and ckpt_mngr.reached_preemption(step)
+        )
+        if preempted:
+            note(f"preemption signal at step {step}: checkpointing and exiting")
+            if ckpt_mngr:
+                _save_now(step)
+                ckpt_mngr.wait_until_finished()
+            writer.close()
+            return train_state
 
         if evaluators and any(
             _should(step, ls, total_steps) for _, _, ls, _ in evaluators

@@ -22,7 +22,7 @@ import numpy as np
 
 def bench_impl(attn_impl: str, steps: int = 3, batch: int = 32,
                res: int = 224, remat: str = "minimal",
-               dec_attn: str = "auto") -> float:
+               dec_attn: str = "auto", accum: int = 1) -> float:
     from openvision_tpu.configs import openvision as cfg_mod
     from openvision_tpu.parallel import create_mesh
     from openvision_tpu.train import step as step_mod
@@ -36,6 +36,7 @@ def bench_impl(attn_impl: str, steps: int = 3, batch: int = 32,
     )
     c.input.batch_size = batch
     c.init_shapes = [(batch, res, res, 3), (2 * batch, 80)]
+    c.grad_accum = accum
     c.lr = 1e-3
     c.schedule = [(".*", dict(decay_type="cosine", warmup_steps=1))]
 
@@ -82,8 +83,8 @@ def _timed(fn, *args) -> float:
 
 
 if __name__ == "__main__":
-    # entries: "impl[:res[:batch[:remat[:dec_attn]]]]",
-    # e.g. "flash:336:16:full" or "fused:224:32:none:flash"
+    # entries: "impl[:res[:batch[:remat[:dec_attn[:accum]]]]]",
+    # e.g. "flash:336:16:full" or "fused:224:128:none:auto:4" (grad accum)
     impls = sys.argv[1:] or ["fused_t", "fused"]
     for entry in impls:
         parts = entry.split(":")
@@ -92,6 +93,7 @@ if __name__ == "__main__":
         batch = int(parts[2]) if len(parts) > 2 else 32
         remat = parts[3] if len(parts) > 3 else "minimal"
         dec_attn = parts[4] if len(parts) > 4 else "auto"
+        accum = int(parts[5]) if len(parts) > 5 else 1
         ips = bench_impl(impl, res=res, batch=batch, remat=remat,
-                         dec_attn=dec_attn)
+                         dec_attn=dec_attn, accum=accum)
         print(f"{entry}: {ips:.1f} img/s/chip", flush=True)
