@@ -252,7 +252,8 @@ def get_config(arg: str | None = None) -> ConfigDict:
     # grad_accum > 1 microbatches the step (exact to the big-batch step via
     # embedding-gradient caching — train/step.py:_make_update_fn_accum).
     # Lets the 32k pretrain recipe run on meshes far smaller than the
-    # reference's 128-way DP floor (train.sh:18-29), at ~+30% step time.
+    # reference's 128-way DP floor (train.sh:18-29); measured +10.6% step
+    # time at accum=4 (docs/PERF_NOTES.md).
     c.grad_accum = 1
 
     # ----- evals -----

@@ -22,6 +22,7 @@ from flax import linen as nn
 
 from openvision_tpu.models.layers import ACT_BLD, ACT_BLHD, logical
 from openvision_tpu.ops import dispatch_attention
+from openvision_tpu.parallel import on_accelerator
 
 Dtype = Any
 
@@ -89,6 +90,10 @@ class MultiHeadAttention(nn.Module):
 
         # Fused QKV+attention kernel path: self-attention, no external mask,
         # no cache, plain-Dense params (the common CLIP encoder case).
+        # Same degenerate-sequence guard as the encoder's block-fusion path
+        # (the kernel pads the sequence to 128 lanes): on real hardware,
+        # tiny sequences fall through to the unfused-XLA dispatch below
+        # instead of re-entering a Pallas kernel.
         use_fused = (
             self.attn_impl == "fused"
             and inputs_q is inputs_kv
@@ -96,6 +101,7 @@ class MultiHeadAttention(nn.Module):
             and not self.decode
             and not self.use_dense_general
             and (self.dropout_rate == 0.0 or deterministic)
+            and (not on_accelerator() or inputs_q.shape[1] >= 32)
         )
         inputs_q = logical(inputs_q, ACT_BLD)
         inputs_kv = logical(inputs_kv, ACT_BLD)
@@ -124,7 +130,7 @@ class MultiHeadAttention(nn.Module):
                 num_heads=self.num_heads,
                 causal=self.causal,
                 prefix_len=self.prefix_len,
-                interpret=jax.devices()[0].platform not in ("tpu", "axon"),
+                interpret=not on_accelerator(),
             )
             x = logical(x, ACT_BLD)
             out = nn.Dense(
@@ -218,7 +224,7 @@ class MultiHeadAttention(nn.Module):
             dropout_rng=dropout_rng,
             dtype=self.dtype,
             chunk=self.chunk,
-            interpret=jax.devices()[0].platform not in ("tpu", "axon"),
+            interpret=not on_accelerator(),
         )
         x = logical(x.astype(self.dtype), ACT_BLHD)
 

@@ -26,6 +26,7 @@ import numpy as np
 from flax import linen as nn
 
 from openvision_tpu.models.attention_module import MultiHeadAttention
+from openvision_tpu.parallel import on_accelerator
 from openvision_tpu.models.layers import (
     ACT_BLD,
     DropPath,
@@ -130,7 +131,7 @@ class EncoderBlock(nn.Module):
         # a grad-accum scan, crashes the AOT Mosaic compiler outright
         # (observed on v5e). Interpret-mode (CPU tests) keeps tiny shapes so
         # the kernels stay exercised by the unit suite.
-        on_accel = jax.devices()[0].platform in ("tpu", "axon")
+        on_accel = on_accelerator()
         use_block_fusion = (
             self.attn_impl == "fused"
             and mask is None
@@ -223,7 +224,7 @@ class EncoderBlock(nn.Module):
             num_heads=self.num_heads,
             causal=causal,
             prefix_len=prefix_len,
-            interpret=jax.devices()[0].platform not in ("tpu", "axon"),
+            interpret=not on_accelerator(),
         )
         return logical(out, ACT_BLD)
 
@@ -274,7 +275,7 @@ class EncoderBlock(nn.Module):
             num_heads=self.num_heads,
             valid=valid,
             nomax=self.nomax_softmax,
-            interpret=jax.devices()[0].platform not in ("tpu", "axon"),
+            interpret=not on_accelerator(),
         )
         return xT, cls
 
@@ -563,7 +564,7 @@ class Encoder(nn.Module):
         if mesh is not None and mesh.shape.get("tensor", 1) > 1:
             return False
         inits = _make_inits(self.init_style, x.shape[-1], self.depth)
-        on_accel = jax.devices()[0].platform in ("tpu", "axon")
+        on_accel = on_accelerator()
         return (
             self.attn_impl == "fused_t"
             and x.ndim == 3

@@ -57,6 +57,17 @@ LOGICAL_AXIS_RULES = (
 BATCH_SPEC = P(("data", "fsdp", "tensor"))
 
 
+def on_accelerator() -> bool:
+    """True when the default backend is a real TPU (incl. the axon tunnel).
+
+    The single source of truth for "run Pallas kernels compiled vs in
+    interpret mode" and for hardware-only dispatch guards — keeps kernel
+    eligibility and interpret flags from silently disagreeing if a platform
+    name is ever added.
+    """
+    return jax.devices()[0].platform in ("tpu", "axon")
+
+
 def create_mesh(
     data: int = -1,
     fsdp: int = 1,

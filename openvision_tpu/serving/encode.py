@@ -23,6 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from openvision_tpu.parallel import on_accelerator
+
 
 IMG_EXTS = (".png", ".jpg", ".jpeg", ".webp", ".bmp")
 
@@ -76,7 +78,7 @@ def main(argv=None):
                         help="disable tanh-approx GELU (slower, bit-exact)")
     args = parser.parse_args(argv)
 
-    on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+    on_tpu = on_accelerator()
     attn_impl = args.attn_impl or ("fused_t" if on_tpu else "xla")
     model = load_model(args.use_model, dtype=jnp.dtype(args.dtype),
                        attn_impl=attn_impl,

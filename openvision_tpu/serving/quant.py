@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from openvision_tpu.models.layers import posemb_sincos_2d
+from openvision_tpu.parallel import on_accelerator
 
 
 def _quant_w(kernel) -> tuple[jax.Array, jax.Array]:
@@ -316,7 +317,7 @@ def quantized_encode_fused(
     from openvision_tpu.ops.fused_encoder_int8 import mhsa_t_int8, mlp_t_int8
 
     if interpret is None:
-        interpret = jax.devices()[0].platform not in ("tpu", "axon")
+        interpret = not on_accelerator()
 
     fp = qparams["_fp"]
     kernel = jnp.asarray(fp["embedding"]["kernel"], jnp.bfloat16)

@@ -303,6 +303,8 @@ def _make_update_fn_accum(
     identical.
     """
     loss_type = config.get("loss_type", "coca")
+    if loss_type not in ("coca", "clip", "siglip"):
+        raise ValueError(f"Unknown loss_type: {loss_type!r}")
     loss_mode = "local" if config.get("local_loss", True) else "global"
     clip_w = config.get("clip_loss_weight", 1.0)
     cap_w = config.get("coca_caption_loss_weight", 2.0)
@@ -433,6 +435,9 @@ def _make_update_fn_accum(
                 zi, [za, zb], t, mode=loss_mode, mesh=mesh
             )
 
+        if loss_type == "siglip":
+            # fail at trace time like the accum=1 path, not silently b=0
+            assert "b" in params, "siglip needs model.init_logit_bias"
         b_param = params.get("b", jnp.zeros((1,), jnp.float32))
         (l_clip, l_extras), (g_zi, g_v1, g_v2, g_t, g_b) = jax.value_and_grad(
             emb_loss, argnums=(0, 1, 2, 3, 4), has_aux=True

@@ -369,10 +369,14 @@ def train(config, workdir: Optional[str] = None):
             _save_now(step)
 
         # Preemption (SIGTERM grace window): checkpoint THIS step and exit
-        # cleanly so the resume path loses zero work. Multi-process agreement
-        # comes from Orbax's coordination-service sync point; the local
-        # signal flag covers single-process runs.
-        preempted = preempt["hit"] or (
+        # cleanly so the resume path loses zero work. The local signal flag
+        # is single-process ONLY — on pods, hosts can observe SIGTERM at
+        # different step boundaries, and acting on the local flag would save
+        # divergent steps / desync the barriers. Multi-process agreement
+        # comes exclusively from Orbax's reached_preemption, whose
+        # coordination-service sync point makes every host answer the same
+        # way at the same step.
+        preempted = (jax.process_count() == 1 and preempt["hit"]) or (
             ckpt_mngr is not None
             and jax.process_count() > 1
             and ckpt_mngr.reached_preemption(step)

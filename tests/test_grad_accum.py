@@ -81,11 +81,8 @@ def _assert_tree_close(a, b, rtol, atol):
 @pytest.mark.parametrize("loss_type", ["coca", "clip", "siglip"])
 def test_accum_matches_bigbatch(loss_type):
     mesh = create_mesh(data=8, fsdp=1, tensor=1)
-    over = dict(loss_type=loss_type)
-    if loss_type == "siglip":
-        over["model_extra"] = True
-    c1 = _tiny_config(**{"loss_type": loss_type})
-    ca = _tiny_config(**{"loss_type": loss_type, "grad_accum": 4})
+    c1 = _tiny_config(loss_type=loss_type)
+    ca = _tiny_config(loss_type=loss_type, grad_accum=4)
     if loss_type == "siglip":
         c1.model.init_logit_bias = -10.0
         ca.model.init_logit_bias = -10.0
