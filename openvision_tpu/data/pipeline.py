@@ -53,6 +53,11 @@ class SyntheticClipSource(grain.RandomAccessDataSource):
         self._n = num_examples
         self._h, self._w = height, width
 
+    def __repr__(self):
+        # stable across processes: grain validates repr(source) when
+        # restoring iterator state (exact-batch data resume).
+        return f"SyntheticClipSource(n={self._n}, h={self._h}, w={self._w})"
+
     def __len__(self) -> int:
         return self._n
 
@@ -74,6 +79,9 @@ class DictSource(grain.RandomAccessDataSource):
         assert len(lens) == 1, f"ragged source: {lens}"
         self._n = lens.pop()
 
+    def __repr__(self):
+        return f"DictSource(keys={sorted(self._data)}, n={self._n})"
+
     def __len__(self):
         return self._n
 
@@ -87,8 +95,13 @@ class JsonlImageSource(grain.RandomAccessDataSource):
     def __init__(self, jsonl_path: str, image_root: str = "", image_key: str = "image"):
         with open(jsonl_path) as f:
             self._rows = [json.loads(l) for l in f if l.strip()]
+        self._path = jsonl_path
         self._root = image_root
         self._key = image_key
+
+    def __repr__(self):
+        return (f"JsonlImageSource({self._path!r}, root={self._root!r}, "
+                f"key={self._key!r})")
 
     def __len__(self):
         return len(self._rows)
@@ -341,36 +354,117 @@ def _stack(examples: Sequence[dict]) -> dict:
     return {k: np.stack([np.asarray(e[k]) for e in examples]) for k in keys}
 
 
-def start_input_pipeline(loader, mesh, *, prefetch: int = 1) -> Iterator[dict]:
-    """Host iterator → global sharded device batches, with host-side prefetch."""
-    import queue
-    import threading
+class DeviceIterator:
+    """Host iterator → global sharded device batches, with host-side prefetch
+    and exact-position checkpointing.
 
-    def device_iter():
-        for batch in iter(loader):
-            yield local_batch_to_global(batch, mesh)
+    Each prefetched batch travels through the queue together with the grain
+    iterator's state snapshot taken right after producing it, so
+    `get_state()` always describes the position AFTER the last batch this
+    object yielded to the caller — checkpoint-consistent even while the
+    producer thread runs `prefetch` batches ahead. Pass the saved bytes back
+    as `state=` to resume mid-epoch on the exact next batch. Beyond the
+    reference, whose resume restores params only and re-reads data from the
+    start (main_clip.py:502-547); grain's iterator state is per-process, so
+    each host checkpoints its own shard position.
 
-    if prefetch <= 0:
-        yield from device_iter()
-        return
+    Loaders whose iterators lack get_state/set_state (e.g. the weighted
+    mixture) still work: get_state() then returns None and resume falls back
+    to fresh data.
 
-    q: queue.Queue = queue.Queue(maxsize=prefetch)
-    stop = object()
+    Producer-thread exceptions propagate to the consumer (the previous
+    generator implementation silently ended iteration on a worker error,
+    which a training loop would misread as end-of-data).
+    """
 
-    def producer():
-        try:
-            for item in device_iter():
-                q.put(item)
-        finally:
-            q.put(stop)
+    def __init__(self, loader, mesh, *, prefetch: int = 1, state=None,
+                 on_first_batch=None):
+        self._loader = loader
+        self._mesh = mesh
+        self._prefetch = prefetch
+        self._init_state = state
+        self._last_state = state
+        self._on_first_batch = on_first_batch
+        self._host_it = None
+        self._queue = None
+        self._sync_iter = None
+        self._stateful = False
 
-    t = threading.Thread(target=producer, daemon=True)
-    t.start()
-    while True:
-        item = q.get()
-        if item is stop:
+    _STOP = object()
+
+    def _ensure_started(self):
+        if self._host_it is not None:
             return
-        yield item
+        import queue
+        import threading
+
+        it = iter(self._loader)
+        self._stateful = hasattr(it, "get_state") and hasattr(it, "set_state")
+        if self._init_state is not None:
+            if not self._stateful:
+                raise ValueError(
+                    "data-state resume requested but the loader's iterator "
+                    "has no set_state (weighted mixtures are not "
+                    "checkpointable)"
+                )
+            it.set_state(self._init_state)
+        self._host_it = it
+
+        if self._prefetch <= 0:
+            return
+
+        q: queue.Queue = queue.Queue(maxsize=self._prefetch)
+        self._queue = q
+
+        def producer():
+            try:
+                for item in self._produce():
+                    q.put(item)
+                q.put((self._STOP, None))
+            except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+                q.put((e, None))
+
+        threading.Thread(target=producer, daemon=True).start()
+
+    def _produce(self):
+        first = True
+        for batch in self._host_it:
+            if first:
+                if self._on_first_batch is not None:
+                    self._on_first_batch(batch)
+                first = False
+            state = self._host_it.get_state() if self._stateful else None
+            yield local_batch_to_global(batch, self._mesh), state
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        self._ensure_started()
+        if self._queue is None:  # prefetch <= 0: synchronous
+            if self._sync_iter is None:
+                self._sync_iter = self._produce()
+            batch, state = next(self._sync_iter)
+            self._last_state = state
+            return batch
+        item, state = self._queue.get()
+        if item is self._STOP:
+            raise StopIteration
+        if isinstance(item, BaseException):
+            raise item
+        self._last_state = state
+        return item
+
+    def get_state(self):
+        """Iterator state (bytes) after the last yielded batch, or None."""
+        return self._last_state
+
+
+def start_input_pipeline(loader, mesh, *, prefetch: int = 1, state=None,
+                         on_first_batch=None) -> "DeviceIterator":
+    """Host iterator → global sharded device batches (see DeviceIterator)."""
+    return DeviceIterator(loader, mesh, prefetch=prefetch, state=state,
+                          on_first_batch=on_first_batch)
 
 
 def _shard_fd(cache: dict[int, int], shards: Sequence[str], shard: int) -> int:
@@ -415,6 +509,10 @@ class WebdatasetTarSource(grain.RandomAccessDataSource):
             for key in sorted(groups):
                 self._index.append((si, groups[key]))
         self._fds: dict[int, int] = {}
+
+    def __repr__(self):
+        return (f"WebdatasetTarSource(shards={self._shards!r}, "
+                f"text_keys={tuple(self._text_keys)!r})")
 
     @staticmethod
     def _scan(path):
@@ -533,6 +631,13 @@ class TfdsDirectorySource(grain.RandomAccessDataSource):
             self._index = self._index[sub]
         self._fds: dict[int, int] = {}
         self._label_names = _tfds_label_names(data_dir)
+        self._repr = (
+            f"TfdsDirectorySource({data_dir!r}, split={split!r}, "
+            f"sub={sub!r}, n={len(self._index)})"
+        )
+
+    def __repr__(self):
+        return self._repr
 
     def __len__(self):
         return len(self._index)

@@ -42,13 +42,15 @@ def _should(step: int, every: Optional[int], total: int) -> bool:
     return step % every == 0 or step == total
 
 
-def _check_token_range(loader, config):
-    """Validates the FIRST host batch's token ids against the embed sizes.
+def _token_range_checker(config):
+    """First-batch hook: validates token ids against the embed sizes.
 
     A vocab_size smaller than what the tokenizer emits (e.g. vocab_size=64
     with the real 30522-line WordPiece vocab) turns the caption loss into
     silent NaNs — out-of-range one-hot targets zero out log-probs. One cheap
     numpy max on the first batch catches it before the first step runs.
+    Runs as DeviceIterator's on_first_batch hook (a generator wrapper would
+    hide the grain iterator's get_state from the data-resume path).
     """
     def _cfg_get(section, key, default=None):
         sub = config.model.get(section)
@@ -62,9 +64,7 @@ def _check_token_range(loader, config):
             "text_decoder_config", "num_classes", txt_vocab),
     }
 
-    it = iter(loader)
-    first = next(it, None)
-    if first is not None:
+    def check(first):
         for key, limit in limits.items():
             if limit and key in first:
                 mx = int(np.max(first[key]))
@@ -75,8 +75,8 @@ def _check_token_range(loader, config):
                         "tokenizer vocab and config vocab_size disagree "
                         "(this would train on NaNs)"
                     )
-        yield first
-    yield from it
+
+    return check
 
 
 def maybe_distributed_init():
@@ -212,9 +212,6 @@ def train(config, workdir: Optional[str] = None):
         config.input, seed=config.get("seed", 0),
         num_workers=config.input.get("num_workers", 0),
     )
-    loader = _check_token_range(loader, config)
-    train_iter = input_pipeline.start_input_pipeline(loader, mesh, prefetch=1)
-
     total_steps = steps("total", config, ntrain, batch_size)
     note(f"{total_steps} steps, {total_steps * batch_size / max(ntrain,1):.1f} epochs")
     chrono.inform(
@@ -249,6 +246,15 @@ def train(config, workdir: Optional[str] = None):
 
     chrono_path = os.path.join(workdir, "chrono.json") if workdir else None
 
+    def _data_state_path(step):
+        # grain iterator state is per-process: each host checkpoints its own
+        # shard position next to the Orbax step dirs.
+        return os.path.join(
+            workdir, "checkpoints",
+            f"data_state-{step}-p{jax.process_index()}.bin",
+        )
+
+    data_state = None
     if ckpt_mngr and ckpt_mngr.latest_step() is not None:
         note(f"resuming from step {ckpt_mngr.latest_step()}")
         abstract = jax.tree.map(
@@ -257,6 +263,15 @@ def train(config, workdir: Optional[str] = None):
         )
         train_state = ckpt_lib.restore_train_state(ckpt_mngr, abstract)
         first_step = optim.get_count(train_state["opt"])
+        # exact-batch data resume (beyond reference, which re-reads data from
+        # the start): restore the grain iterator position saved with this
+        # step's checkpoint, when present.
+        if os.path.exists(_data_state_path(first_step)):
+            with open(_data_state_path(first_step), "rb") as f:
+                data_state = f.read()
+            note(f"resuming data iterator at step {first_step} (exact batch)")
+        else:
+            note("no data-iterator state for this step: data restarts")
         # keep core-hours accounting across preemptions (the reference's
         # chrono.npz sidecar, main_clip.py:540-546).
         if chrono_path and os.path.exists(chrono_path):
@@ -291,6 +306,13 @@ def train(config, workdir: Optional[str] = None):
         train_state["params"] = jax.device_put(
             merged, state_sharding["params"]
         )
+
+    # Created after the checkpoint decision chain so a restored data-iterator
+    # state can seed it; DeviceIterator starts lazily on first __next__.
+    train_iter = input_pipeline.start_input_pipeline(
+        loader, mesh, prefetch=1, state=data_state,
+        on_first_batch=_token_range_checker(config),
+    )
 
     # ----- evaluators -----
     evaluators = []
@@ -330,6 +352,26 @@ def train(config, workdir: Optional[str] = None):
         chrono.pause(wait_for=jax.tree.leaves(train_state["params"]))
         sync("save_ckpt")
         ckpt_lib.save_train_state(ckpt_mngr, step, train_state)
+        ds = train_iter.get_state()
+        if workdir and ds is not None:
+            # atomic rename like the npz writer; the state describes the
+            # position right after this step's batch, so resume continues
+            # with batch step+1 exactly.
+            path = _data_state_path(step)
+            with open(path + "-TEMPORARY", "wb") as f:
+                f.write(ds)
+            os.replace(path + "-TEMPORARY", path)
+            import glob as _glob
+
+            keep = {step} | set(ckpt_mngr.all_steps())
+            pat = os.path.join(
+                os.path.dirname(path),
+                f"data_state-*-p{jax.process_index()}.bin",
+            )
+            for old in _glob.glob(pat):
+                s = os.path.basename(old).split("-")[1]
+                if s.isdigit() and int(s) not in keep:
+                    os.remove(old)
         if chrono_path and jax.process_index() == 0:
             import json as _json
 

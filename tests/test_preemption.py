@@ -85,3 +85,37 @@ def test_preemption_checkpoints_current_step_and_resumes(tmp_path, monkeypatch):
     )
     state2 = trainer.train(_tiny_cfg(6), workdir)
     assert optim.get_count(state2["opt"]) == 6
+
+
+@pytest.mark.slow
+def test_preempted_resume_matches_uninterrupted_run(tmp_path, monkeypatch):
+    """With exact-batch data resume, preempt-at-3 + resume reproduces the
+    uninterrupted 6-step run's parameters (same batches 4..6, same RNG
+    folding, same restored optimizer state)."""
+    import jax
+    import numpy as np
+
+    from openvision_tpu import optim
+
+    def _run(workdir, flag_factory):
+        monkeypatch.setattr(trainer, "_install_preemption_flag", flag_factory)
+        return trainer.train(_tiny_cfg(6), workdir)
+
+    ref = _run(str(tmp_path / "straight"), lambda: {"hit": False})
+    assert optim.get_count(ref["opt"]) == 6
+
+    wd = str(tmp_path / "preempted")
+    mid = _run(wd, lambda: _FlagAtStep(2))
+    assert optim.get_count(mid["opt"]) < 6
+    resumed = _run(wd, lambda: {"hit": False})
+    assert optim.get_count(resumed["opt"]) == 6
+
+    for (ka, va), (kb, vb) in zip(
+        jax.tree_util.tree_leaves_with_path(ref["params"]),
+        jax.tree_util.tree_leaves_with_path(resumed["params"]),
+    ):
+        assert ka == kb
+        np.testing.assert_allclose(
+            np.asarray(va, np.float32), np.asarray(vb, np.float32),
+            rtol=1e-6, atol=1e-7, err_msg=jax.tree_util.keystr(ka),
+        )
