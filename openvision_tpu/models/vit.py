@@ -198,6 +198,11 @@ class ViT(nn.Module):
     mask_mode: str = "random"  # "random" | "square" | "per2x2_random_grid"
     emb_head_bias: bool = True
     head_zeroinit: bool = False
+    # In-model ImageNet normalization (reference vit.py:448-451,658-663):
+    # an alternative to the pp-string `vgg_value_range` / trainer uint8 prologue.
+    post_norm: bool = False
+    mean: Sequence[float] = (0.485, 0.456, 0.406)
+    std: Sequence[float] = (0.229, 0.224, 0.225)
     final_drop: float = 0.0
     ignore_cls: bool = False
     output_tokens: bool = False
@@ -207,6 +212,10 @@ class ViT(nn.Module):
 
     @nn.compact
     def __call__(self, image: jax.Array, *, train: bool = False):
+        if self.post_norm:
+            mean = jnp.asarray(self.mean, image.dtype)[None, None, None, :]
+            std = jnp.asarray(self.std, image.dtype)[None, None, None, :]
+            image = (image - mean) / std
         if self.patch_embedding == "conv":
             x = nn.Conv(
                 self.width,

@@ -120,6 +120,20 @@ def test_vit_forward_shapes_and_tokens():
     assert tokens.shape == (2, 4, 32)  # 32/16=2 → 4 patches (cls dropped)
 
 
+def test_vit_post_norm_matches_external_normalization():
+    # post_norm normalizes inside the model (reference vit.py:448-451,658-663);
+    # must equal normalizing the pixels outside and running post_norm=False.
+    model = vit_mod.Model(num_classes=32, post_norm=True, **IMG_CFG)
+    base = vit_mod.Model(num_classes=32, post_norm=False, **IMG_CFG)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    mean = jnp.asarray(model.mean)[None, None, None, :]
+    std = jnp.asarray(model.std)[None, None, None, :]
+    got, _ = model.apply({"params": params}, x)
+    want, _ = base.apply({"params": params}, (x - mean) / std)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
 def test_text_forward_pool_last():
     model = text_mod.Model(num_classes=32, **TXT_CFG)
     x = jnp.ones((2, 16), jnp.int32)
