@@ -1,0 +1,233 @@
+"""Online serving daemon: dynamic batching + HTTP API (serving/server.py)."""
+
+import base64
+import http.client
+import io
+import json
+import threading
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openvision_tpu.models import text as text_mod
+from openvision_tpu.models import vit as vit_mod
+from openvision_tpu.parallel import unbox
+from openvision_tpu.serving import server as srv
+from openvision_tpu.tools.model_io import LoadedModel
+
+VOCAB_PATH = "assets/bert_base_vocab_bos_eos.txt"
+W, L, H, E, RES, P, CTX, V = 64, 2, 2, 32, 32, 16, 16, 30522
+
+
+@pytest.fixture(scope="module")
+def model():
+    vision = vit_mod.ViT(
+        num_classes=E, patch_size=(P, P), width=W, depth=L, mlp_dim=W * 4,
+        num_heads=H, posemb="learn", pool_type="gap", emb_head_bias=False,
+    )
+    text = text_mod.TextTransformer(
+        num_classes=E, width=W, depth=L, mlp_dim=W * 4, num_heads=H,
+        vocab_size=V, posemb="learn", pool_type="last",
+    )
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    params = {
+        "img": unbox(vision.init(k1, jnp.zeros((1, RES, RES, 3)))["params"]),
+        "txt": unbox(text.init(k2, jnp.zeros((1, CTX), jnp.int32))["params"]),
+        "t": np.log(1 / 0.07) * np.ones((1,), np.float32),
+    }
+    return LoadedModel(
+        vision=vision, text=text, params=params, image_size=RES,
+        context_length=CTX, vocab_size=V,
+        mean=(0.48145466, 0.4578275, 0.40821073),
+        std=(0.26862954, 0.26130258, 0.27577711), vocab_path=VOCAB_PATH,
+    )
+
+
+@pytest.fixture(scope="module")
+def service(model):
+    svc = srv.EmbedService(model, int8=False, on_tpu=False,
+                           max_batch=8, max_wait_ms=25.0)
+    yield svc
+    svc.stop()
+
+
+def _png_bytes(seed: int) -> bytes:
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, (RES, RES, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def test_bucket_size():
+    assert [srv.bucket_size(n, 8) for n in (1, 2, 3, 5, 8, 9)] == \
+        [1, 2, 4, 8, 8, 8]
+
+
+def test_dynamic_batcher_coalesces_and_orders():
+    sizes = []
+
+    def run_batch(items):
+        sizes.append(len(items))
+        return [x * 2 for x in items]
+
+    b = srv.DynamicBatcher(run_batch, max_batch=8, max_wait_ms=50.0)
+    try:
+        futs = [b.submit(np.full((2,), i, np.float32)) for i in range(8)]
+        for i, f in enumerate(futs):
+            np.testing.assert_array_equal(f.result(timeout=10),
+                                          np.full((2,), 2 * i, np.float32))
+        # 8 submits within one 50ms window must not run as 8 singles
+        assert max(sizes) > 1 and sum(sizes) == 8
+        st = b.stats()
+        assert st["requests"] == 8 and st["batches"] == len(sizes)
+    finally:
+        b.stop()
+
+
+def test_dynamic_batcher_error_isolated_to_batch():
+    def run_batch(items):
+        if any(x < 0 for x in items):
+            raise ValueError("negative")
+        return items
+
+    b = srv.DynamicBatcher(run_batch, max_batch=4, max_wait_ms=5.0)
+    try:
+        bad = b.submit(-1.0)
+        with pytest.raises(ValueError):
+            bad.result(timeout=10)
+        good = b.submit(3.0)  # batcher must survive the failed batch
+        assert good.result(timeout=10) == 3.0
+    finally:
+        b.stop()
+
+
+def test_service_image_matches_direct_with_padding(service, model):
+    from PIL import Image
+
+    blobs = [_png_bytes(s) for s in range(3)]  # 3 -> padded to bucket 4
+    futs = [service.embed_image_bytes(b) for b in blobs]
+    got = np.stack([f.result(timeout=60) for f in futs])
+
+    imgs = np.stack([
+        model.preprocess(np.asarray(Image.open(io.BytesIO(b)).convert("RGB")))
+        for b in blobs
+    ]).astype(np.float32)
+    want = np.asarray(model.encode_image(jnp.asarray(imgs)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    assert abs(float(np.linalg.norm(got[0])) - 1.0) < 1e-4
+
+
+def test_service_text_matches_direct(service, model):
+    texts = ["a photo of a cat", "a diagram", "two dogs"]
+    futs = [service.embed_text(t) for t in texts]
+    got = np.stack([f.result(timeout=60) for f in futs])
+    want = np.asarray(model.encode_text(jnp.asarray(model.tokenize(texts))))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def http_server(service):
+    httpd = srv.make_server(service, "127.0.0.1", 0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield httpd.server_address
+    httpd.shutdown()
+
+
+def _request(addr, method, path, body=None, headers=None):
+    conn = http.client.HTTPConnection(*addr, timeout=120)
+    conn.request(method, path, body=body, headers=headers or {})
+    resp = conn.getresponse()
+    out = json.loads(resp.read())
+    conn.close()
+    return resp.status, out
+
+
+def test_http_health_and_stats(http_server):
+    status, out = _request(http_server, "GET", "/healthz")
+    assert status == 200 and out["status"] == "ok"
+    status, out = _request(http_server, "GET", "/stats")
+    assert status == 200 and set(out) == {"image", "text"}
+
+
+def test_http_embed_image_raw_and_b64(http_server, model):
+    blob = _png_bytes(7)
+    status, raw = _request(http_server, "POST", "/v1/embed/image", body=blob,
+                           headers={"Content-Type": "image/png"})
+    assert status == 200 and raw["dim"] == E
+    status, b64 = _request(
+        http_server, "POST", "/v1/embed/image",
+        body=json.dumps({"b64": base64.b64encode(blob).decode()}),
+        headers={"Content-Type": "application/json"})
+    assert status == 200
+    np.testing.assert_allclose(np.asarray(raw["embeddings"]),
+                               np.asarray(b64["embeddings"]), atol=1e-6)
+
+
+def test_http_embed_text_and_rank(http_server, model):
+    status, out = _request(
+        http_server, "POST", "/v1/embed/text",
+        body=json.dumps({"texts": ["a cat", "a dog"]}),
+        headers={"Content-Type": "application/json"})
+    assert status == 200 and len(out["embeddings"]) == 2
+
+    status, rank = _request(
+        http_server, "POST", "/v1/rank",
+        body=json.dumps({
+            "b64": base64.b64encode(_png_bytes(3)).decode(),
+            "texts": ["a cat", "a dog", "a car"],
+        }),
+        headers={"Content-Type": "application/json"})
+    assert status == 200
+    assert sorted(rank["texts"]) == ["a car", "a cat", "a dog"]
+    assert abs(sum(rank["probs"]) - 1.0) < 1e-4
+    assert rank["probs"] == sorted(rank["probs"], reverse=True)
+
+
+def test_http_concurrent_requests_coalesce(http_server, service):
+    before = service.images.stats()
+    blob = _png_bytes(11)
+    results, errs = [], []
+
+    def post():
+        try:
+            results.append(_request(
+                http_server, "POST", "/v1/embed/image", body=blob,
+                headers={"Content-Type": "image/png"}))
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=post) for _ in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errs and len(results) == 6
+    assert all(s == 200 for s, _ in results)
+    ref = np.asarray(results[0][1]["embeddings"])
+    for _, out in results[1:]:
+        np.testing.assert_allclose(np.asarray(out["embeddings"]), ref,
+                                   atol=1e-6)
+    after = service.images.stats()
+    new_reqs = after["requests"] - before["requests"]
+    new_batches = after["batches"] - before["batches"]
+    assert new_reqs == 6 and new_batches < 6  # at least one multi-item batch
+
+
+def test_http_bad_requests(http_server):
+    status, out = _request(http_server, "POST", "/v1/embed/text",
+                           body=b"{}",
+                           headers={"Content-Type": "application/json"})
+    assert status == 400 and "error" in out
+    status, out = _request(http_server, "POST", "/v1/embed/image",
+                           body=b"not an image",
+                           headers={"Content-Type": "image/png"})
+    assert status == 400 and "error" in out
+    status, out = _request(http_server, "GET", "/nope")
+    assert status == 404
