@@ -55,13 +55,22 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from openvision_tpu.parallel import on_accelerator
+from openvision_tpu.parallel import (
+    batch_sharding,
+    create_mesh,
+    on_accelerator,
+    use_mesh,
+)
 from openvision_tpu.serving.encode import build_encode_fn
 
 
-def bucket_size(n: int, cap: int) -> int:
-    """Next power-of-two >= n, capped at `cap` (the batcher never exceeds it)."""
-    b = 1
+def bucket_size(n: int, cap: int, minimum: int = 1) -> int:
+    """Next power-of-two >= n, capped at `cap` (the batcher never exceeds it).
+
+    `minimum` floors the bucket so sharded batches stay divisible by the
+    mesh's device count (TPU slice sizes are powers of two).
+    """
+    b = minimum
     while b < n:
         b *= 2
     return min(b, cap)
@@ -84,11 +93,13 @@ class DynamicBatcher:
     """
 
     def __init__(self, run_batch, *, max_batch: int = 64,
-                 max_wait_ms: float = 5.0, name: str = "batch"):
+                 max_wait_ms: float = 5.0, name: str = "batch",
+                 min_bucket: int = 1):
         self.run_batch = run_batch
         self.max_batch = int(max_batch)
         self.max_wait = float(max_wait_ms) / 1e3
         self.name = name
+        self.min_bucket = int(min_bucket)  # stats-only: real padding floor
         self._q: queue.Queue[_Work] = queue.Queue()
         self._stop = threading.Event()
         self._lock = threading.Lock()
@@ -163,7 +174,8 @@ class DynamicBatcher:
                 self._n_batches += 1
                 self._occupancy_sum += len(batch)
                 self._n_padded += (
-                    bucket_size(len(batch), self.max_batch) - len(batch))
+                    bucket_size(len(batch), self.max_batch, self.min_bucket)
+                    - len(batch))
                 for w in batch:
                     self._latencies.append(now - w.t_enqueue)
             for w, r in zip(batch, results):
@@ -190,9 +202,18 @@ class EmbedService:
     """Dynamic-batched image/text embedding over a loaded two-tower model."""
 
     def __init__(self, model, *, int8: bool = False, on_tpu: bool | None = None,
-                 max_batch: int = 64, max_wait_ms: float = 5.0):
+                 max_batch: int = 64, max_wait_ms: float = 5.0, mesh=None):
         self.model = model
         self.max_batch = int(max_batch)
+        # Multi-chip (batch-parallel) serving: shard every bucket over the
+        # mesh's batch axes; the fused kernels shard_map themselves under
+        # use_mesh (docs/SERVING.md "Multi-chip serving"). Buckets are floored
+        # at the device count so every chip gets rows.
+        self.mesh = mesh
+        self.min_bucket = 1 if mesh is None else int(mesh.devices.size)
+        if self.min_bucket > self.max_batch:
+            raise ValueError(
+                f"max_batch={max_batch} < mesh devices {self.min_bucket}")
         on_tpu = on_accelerator() if on_tpu is None else on_tpu
         self._encode_img = build_encode_fn(model, int8=int8, on_tpu=on_tpu)
 
@@ -207,28 +228,35 @@ class EmbedService:
         self._encode_txt = lambda tokens: encode_txt(txt_params, tokens)
         self.images = DynamicBatcher(
             self._run_images, max_batch=max_batch, max_wait_ms=max_wait_ms,
-            name="image")
+            name="image", min_bucket=self.min_bucket)
         self.texts = DynamicBatcher(
             self._run_texts, max_batch=max_batch, max_wait_ms=max_wait_ms,
-            name="text")
+            name="text", min_bucket=self.min_bucket)
 
     # --- batch runners (dispatcher threads only) ---
 
+    def _device_batch(self, x: np.ndarray) -> jax.Array:
+        if self.mesh is None:
+            return jnp.asarray(x)
+        return jax.device_put(x, batch_sharding(self.mesh))
+
     def _run_images(self, items: list[np.ndarray]) -> list[np.ndarray]:
         n = len(items)
-        b = bucket_size(n, self.max_batch)
+        b = bucket_size(n, self.max_batch, self.min_bucket)
         s = self.model.image_size
         x = np.zeros((b, s, s, 3), np.float32)
         x[:n] = np.stack(items)
-        z = np.asarray(jax.device_get(self._encode_img(jnp.asarray(x))))
+        with use_mesh(self.mesh):
+            z = np.asarray(jax.device_get(self._encode_img(self._device_batch(x))))
         return list(z[:n])
 
     def _run_texts(self, items: list[np.ndarray]) -> list[np.ndarray]:
         n = len(items)
-        b = bucket_size(n, self.max_batch)
+        b = bucket_size(n, self.max_batch, self.min_bucket)
         toks = np.zeros((b, self.model.context_length), np.int32)
         toks[:n] = np.stack(items)
-        z = np.asarray(jax.device_get(self._encode_txt(jnp.asarray(toks))))
+        with use_mesh(self.mesh):
+            z = np.asarray(jax.device_get(self._encode_txt(self._device_batch(toks))))
         return list(z[:n])
 
     # --- request-thread API (decode/preprocess here, then enqueue) ---
@@ -262,13 +290,14 @@ class EmbedService:
     def warmup(self):
         """Precompile every bucket so first requests don't pay XLA compiles."""
         s = self.model.image_size
-        b = 1
+        b = self.min_bucket
         while True:
-            np.asarray(jax.device_get(
-                self._encode_img(jnp.zeros((b, s, s, 3), jnp.float32))))
-            np.asarray(jax.device_get(
-                self._encode_txt(jnp.zeros((b, self.model.context_length),
-                                           jnp.int32))))
+            with use_mesh(self.mesh):
+                np.asarray(jax.device_get(self._encode_img(
+                    self._device_batch(np.zeros((b, s, s, 3), np.float32)))))
+                np.asarray(jax.device_get(self._encode_txt(
+                    self._device_batch(np.zeros(
+                        (b, self.model.context_length), np.int32)))))
             if b >= self.max_batch:
                 break
             b *= 2
@@ -380,6 +409,9 @@ def main(argv=None):
     parser.add_argument("--attn_impl", default=None)
     parser.add_argument("--warmup", action="store_true",
                         help="precompile every batch bucket before listening")
+    parser.add_argument("--data_parallel", action="store_true",
+                        help="shard each batch over ALL local devices "
+                             "(batch-parallel multi-chip serving)")
     args = parser.parse_args(argv)
 
     on_tpu = on_accelerator()
@@ -387,9 +419,10 @@ def main(argv=None):
     model = load_model(args.use_model, dtype=jnp.dtype(args.dtype),
                        attn_impl=attn_impl,
                        fast_gelu=attn_impl == "fused_t")
+    mesh = create_mesh(data=len(jax.devices())) if args.data_parallel else None
     service = EmbedService(model, int8=args.int8, on_tpu=on_tpu,
                            max_batch=args.max_batch,
-                           max_wait_ms=args.max_wait_ms)
+                           max_wait_ms=args.max_wait_ms, mesh=mesh)
     if args.warmup:
         t0 = time.perf_counter()
         service.warmup()
@@ -398,7 +431,8 @@ def main(argv=None):
     server = make_server(service, args.host, args.port)
     print(f"serving on http://{args.host}:{args.port} "
           f"(max_batch={args.max_batch}, max_wait={args.max_wait_ms}ms, "
-          f"{'int8' if args.int8 else args.dtype}, attn={attn_impl})")
+          f"{'int8' if args.int8 else args.dtype}, attn={attn_impl}, "
+          f"devices={1 if mesh is None else mesh.devices.size})")
     try:
         server.serve_forever()
     except KeyboardInterrupt:

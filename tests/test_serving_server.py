@@ -67,6 +67,35 @@ def _png_bytes(seed: int) -> bytes:
 def test_bucket_size():
     assert [srv.bucket_size(n, 8) for n in (1, 2, 3, 5, 8, 9)] == \
         [1, 2, 4, 8, 8, 8]
+    assert [srv.bucket_size(n, 16, minimum=8) for n in (1, 8, 9)] == [8, 8, 16]
+
+
+def test_service_data_parallel_matches_single_device(model):
+    from openvision_tpu.parallel import create_mesh
+
+    mesh = create_mesh(data=8)
+    svc = srv.EmbedService(model, int8=False, on_tpu=False,
+                           max_batch=16, max_wait_ms=25.0, mesh=mesh)
+    try:
+        blobs = [_png_bytes(s) for s in range(3)]  # 3 -> padded to bucket 8
+        futs = [svc.embed_image_bytes(b) for b in blobs]
+        got = np.stack([f.result(timeout=120) for f in futs])
+        tfut = svc.embed_text("a photo of a cat")
+        ztxt = tfut.result(timeout=120)
+    finally:
+        svc.stop()
+
+    from PIL import Image
+
+    imgs = np.stack([
+        model.preprocess(np.asarray(Image.open(io.BytesIO(b)).convert("RGB")))
+        for b in blobs
+    ]).astype(np.float32)
+    want = np.asarray(model.encode_image(jnp.asarray(imgs)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    want_t = np.asarray(model.encode_text(
+        jnp.asarray(model.tokenize(["a photo of a cat"]))))[0]
+    np.testing.assert_allclose(ztxt, want_t, atol=1e-5)
 
 
 def test_dynamic_batcher_coalesces_and_orders():
