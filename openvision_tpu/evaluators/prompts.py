@@ -19,6 +19,7 @@ PROMPT_SETS = {
     "clip_paper": CLIP_PAPER_PROMPT_TEMPLATES,
     "clip_best": CLIP_BEST_PROMPT_TEMPLATES,
     "none": ["{}"],
+    "simple": ["a photo of a {}"],
 }
 
 CLASS_NAME_SETS = {
