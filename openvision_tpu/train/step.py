@@ -539,3 +539,42 @@ def jit_update_fn(update_fn, state_sharding, mesh: Mesh):
         in_shardings=(state_sharding, data_sh, repl),
         out_shardings=(state_sharding, repl),
     )
+
+
+def jit_multi_update_fn(update_fn, state_sharding, mesh: Mesh):
+    """k optimizer steps in ONE XLA program (`config.steps_per_dispatch`).
+
+    `lax.scan` over a k-stacked batch amortizes per-step dispatch latency —
+    the measured gap between the chained and per-step training ladders
+    (docs/PERF_NOTES.md: 117.9 → 147.9 img/s L/14@224) is pure enqueue
+    overhead, which dominates when steps are short (small models, large
+    pods, or a remote runtime). Exactness is free: the scan body IS the
+    single-step `update_fn`, whose RNG already folds in the optimizer
+    count, so k scanned steps produce bit-identical params/opt to k
+    separate dispatches over the same batches (tests/test_multi_dispatch.py).
+
+    Returns the LAST step's telemetry — the trainer only chunks across
+    steps with no logging/checkpoint/eval events, so interior telemetry
+    is never observed anyway.
+    """
+    from openvision_tpu.parallel import use_mesh
+
+    def traced(train_state, batches, rng):
+        with use_mesh(mesh), logical_axis_rules():
+            def body(state, batch):
+                new_state, m = update_fn(state, batch, rng)
+                return new_state, m
+
+            state, ms = jax.lax.scan(body, train_state, batches)
+        return state, jax.tree.map(lambda x: x[-1], ms)
+
+    from openvision_tpu.parallel.mesh import BATCH_SPEC
+
+    data_sh = NamedSharding(mesh, P(None, *BATCH_SPEC))
+    repl = replicated_sharding(mesh)
+    return jax.jit(
+        traced,
+        donate_argnums=(0,),
+        in_shardings=(state_sharding, data_sh, repl),
+        out_shardings=(state_sharding, repl),
+    )

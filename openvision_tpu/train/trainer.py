@@ -230,8 +230,18 @@ def train(config, workdir: Optional[str] = None):
         writer.measure("num_params", n_params)
         note(f"{n_params/1e6:.1f}M params")
 
-    update_fn = step_mod.jit_update_fn(
-        step_mod.make_update_fn(config, model, tx, mesh), state_sharding, mesh
+    raw_update_fn = step_mod.make_update_fn(config, model, tx, mesh)
+    update_fn = step_mod.jit_update_fn(raw_update_fn, state_sharding, mesh)
+    # steps_per_dispatch > 1: scan k steps inside one XLA program to amortize
+    # per-step enqueue latency (exact — see step.jit_multi_update_fn). The
+    # loop below only chunks across event-free steps, so logging/ckpt/eval
+    # cadences are honored exactly; cadences that are multiples of k keep
+    # the compile count at two programs (sizes k and 1).
+    steps_per_dispatch = int(config.get("steps_per_dispatch", 1) or 1)
+    multi_update_fn = (
+        step_mod.jit_multi_update_fn(raw_update_fn, state_sharding, mesh)
+        if steps_per_dispatch > 1
+        else None
     )
 
     # ----- checkpoint decision chain (reference main_clip.py:502-608) -----
@@ -381,19 +391,57 @@ def train(config, workdir: Optional[str] = None):
                 )
         chrono.resume()
 
+    def _has_event(s):
+        """Steps whose post-update handling forbids running PAST them inside
+        one multi-step dispatch (they may still END a chunk)."""
+        if _should(s, log_every, total_steps):
+            return True
+        if ckpt_mngr and _should(s, ckpt_every, total_steps):
+            return True
+        if any(_should(s, ls, total_steps) for _, _, ls, _ in evaluators):
+            return True
+        # profiling: the trace must start BEFORE step prof_start (so
+        # prof_start must open a chunk) and stop AFTER prof_stop.
+        if prof_stop and (s == prof_stop or s + 1 == prof_start):
+            return True
+        return False
+
     note("starting training loop")
-    for step, batch in zip(range(first_step + 1, total_steps + 1), train_iter):
-        if step == first_step + 1:
+    step = first_step
+    while step < total_steps:
+        s0 = step + 1
+        chunk = 1
+        if steps_per_dispatch > 1 and s0 + steps_per_dispatch - 1 <= total_steps:
+            if not any(
+                _has_event(s) for s in range(s0, s0 + steps_per_dispatch - 1)
+            ):
+                chunk = steps_per_dispatch
+        try:
+            batches = [next(train_iter) for _ in range(chunk)]
+        except StopIteration:
+            break
+        step = s0 + chunk - 1
+        if s0 == first_step + 1:
             # one rendezvous when every host has its first batch; per-step
             # barriers add host latency with no correctness benefit (the
             # step's collectives already synchronize devices) — the
             # reference also only syncs at coarse points.
             sync("data_loading")
         writer.step_start(step)
-        if workdir and prof_stop and step == prof_start and jax.process_index() == 0:
+        if workdir and prof_stop and s0 == prof_start and jax.process_index() == 0:
             jax.profiler.start_trace(os.path.join(workdir, "profile"))
         with jax.profiler.StepTraceAnnotation("train_step", step_num=step):
-            train_state, measurements = update_fn(train_state, batch, rng_loop)
+            if chunk == 1:
+                train_state, measurements = update_fn(
+                    train_state, batches[0], rng_loop
+                )
+            else:
+                stacked = jax.tree.map(
+                    lambda *xs: jnp.stack(xs), *batches
+                )
+                train_state, measurements = multi_update_fn(
+                    train_state, stacked, rng_loop
+                )
         if workdir and prof_stop and step == prof_stop and jax.process_index() == 0:
             jax.block_until_ready(measurements)
             jax.profiler.stop_trace()
