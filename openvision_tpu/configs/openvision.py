@@ -56,6 +56,12 @@ def get_config(arg: str | None = None) -> ConfigDict:
         # caption-decoder attention over the concat [image+text|queries]
         # sequence (465 tokens at 224px). "auto" resolves below.
         dec_attn_impl="auto",
+        # caption-decoder fusion style: "concat" (one self-attn stack over
+        # [image+text | queries], the reference's default) or "cross_attn"
+        # (depth//2 pairs of causal self-attn over the 128 queries +
+        # cross-attn to the prefix — never builds the 465-token concat
+        # sequence; reference src/models/text_decoder.py:521-555).
+        dec_fusion="concat",
         # chunk size for the head-fused caption cross-entropy (0 = build
         # full logits and use plain softmax_xent)
         cap_xent_chunk=16,
@@ -198,7 +204,7 @@ def get_config(arg: str | None = None) -> ConfigDict:
             # for backward — 12 x 232 MB at bs64, the memory ceiling once
             # the caption logits are head-fused
             remat_policy=arg.remat,
-            fusion_style="concat",
+            fusion_style=arg.dec_fusion,
             causal=True,
             attn_impl=dec_attn,
             num_learnable_tokens=arg.output_token_len,

@@ -12,6 +12,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
+import zipfile
 from typing import Any
 
 import jax
@@ -192,10 +193,18 @@ def load_model(
     )
 
     bin_path = os.path.join(model_dir, "open_clip_pytorch_model.bin")
-    import torch
+    # Torch-free by default: the restricted-unpickler zip reader keeps the
+    # serving/encode path runnable on torch-less TPU VMs (VERDICT r3 #9).
+    # torch only enters as a fallback for the pre-1.6 tar format.
+    try:
+        from openvision_tpu.convert.torch_pickle import load_torch_bin
 
-    state_dict = torch.load(bin_path, map_location="cpu", weights_only=True)
-    sd = {k: v.numpy() for k, v in state_dict.items()}
+        sd = load_torch_bin(bin_path)
+    except zipfile.BadZipFile:
+        import torch
+
+        state_dict = torch.load(bin_path, map_location="cpu", weights_only=True)
+        sd = {k: v.numpy() for k, v in state_dict.items()}
     params = openclip_to_jax(sd, num_heads_vision=v_heads, num_heads_text=t_heads)
 
     # a vocab.txt in the model dir (our exports write one) overrides the

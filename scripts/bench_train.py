@@ -22,7 +22,8 @@ import numpy as np
 
 def bench_impl(attn_impl: str, steps: int = 3, batch: int = 32,
                res: int = 224, remat: str = "minimal",
-               dec_attn: str = "auto", accum: int = 1) -> float:
+               dec_attn: str = "auto", accum: int = 1,
+               dec_fusion: str = "concat") -> float:
     from openvision_tpu.configs import openvision as cfg_mod
     from openvision_tpu.parallel import create_mesh
     from openvision_tpu.train import step as step_mod
@@ -32,7 +33,8 @@ def bench_impl(attn_impl: str, steps: int = 3, batch: int = 32,
     c = cfg_mod.get_config(
         f"res={res},img=L/14,txt_name=B,txt_decoder_name=B,token_len=80,"
         f"output_token_len=128,remat={remat},attn_impl={attn_impl},"
-        f"dec_attn_impl={dec_attn},dtype=bfloat16,param_dtype=bfloat16"
+        f"dec_attn_impl={dec_attn},dec_fusion={dec_fusion},"
+        f"dtype=bfloat16,param_dtype=bfloat16"
     )
     c.input.batch_size = batch
     c.init_shapes = [(batch, res, res, 3), (2 * batch, 80)]
@@ -83,8 +85,9 @@ def _timed(fn, *args) -> float:
 
 
 if __name__ == "__main__":
-    # entries: "impl[:res[:batch[:remat[:dec_attn[:accum]]]]]",
-    # e.g. "flash:336:16:full" or "fused:224:128:none:auto:4" (grad accum)
+    # entries: "impl[:res[:batch[:remat[:dec_attn[:accum[:dec_fusion]]]]]]",
+    # e.g. "flash:336:16:full", "fused:224:128:none:auto:4" (grad accum),
+    # or "fused:224:32:none:auto:1:cross_attn" (decoder fusion A/B)
     impls = sys.argv[1:] or ["fused_t", "fused"]
     for entry in impls:
         parts = entry.split(":")
@@ -94,6 +97,7 @@ if __name__ == "__main__":
         remat = parts[3] if len(parts) > 3 else "minimal"
         dec_attn = parts[4] if len(parts) > 4 else "auto"
         accum = int(parts[5]) if len(parts) > 5 else 1
+        dec_fusion = parts[6] if len(parts) > 6 else "concat"
         ips = bench_impl(impl, res=res, batch=batch, remat=remat,
-                         dec_attn=dec_attn, accum=accum)
+                         dec_attn=dec_attn, accum=accum, dec_fusion=dec_fusion)
         print(f"{entry}: {ips:.1f} img/s/chip", flush=True)
