@@ -544,14 +544,23 @@ def jit_update_fn(update_fn, state_sharding, mesh: Mesh):
 def jit_multi_update_fn(update_fn, state_sharding, mesh: Mesh):
     """k optimizer steps in ONE XLA program (`config.steps_per_dispatch`).
 
-    `lax.scan` over a k-stacked batch amortizes per-step dispatch latency —
+    `lax.scan` over the k batches amortizes per-step dispatch latency —
     the measured gap between the chained and per-step training ladders
     (docs/PERF_NOTES.md: 117.9 → 147.9 img/s L/14@224) is pure enqueue
     overhead, which dominates when steps are short (small models, large
-    pods, or a remote runtime). Exactness is free: the scan body IS the
-    single-step `update_fn`, whose RNG already folds in the optimizer
-    count, so k scanned steps produce bit-identical params/opt to k
-    separate dispatches over the same batches (tests/test_multi_dispatch.py).
+    pods, or a remote runtime). The scan body IS the single-step
+    `update_fn`, whose RNG already folds in the optimizer count, so k
+    scanned steps match k separate dispatches over the same batches to
+    float32 compile-variance resolution: XLA fuses/reorders reductions
+    differently inside the scanned program, so the equivalence is NOT
+    bitwise — measured drift after 3-6 steps is <=3.3e-6 abs / <=4.1e-4
+    rel on the tiny probe model (scripts/calibrate_multi_dispatch.py;
+    tests/test_multi_dispatch.py asserts the calibrated bound).
+
+    Takes the k batches as a TUPLE of per-step batch trees and stacks
+    them inside the jitted program: the inputs are donated, so the
+    stacked copy can reuse their HBM instead of doubling peak memory the
+    way an eager host-side `jnp.stack` before dispatch would (ADVICE r3).
 
     Returns the LAST step's telemetry — the trainer only chunks across
     steps with no logging/checkpoint/eval events, so interior telemetry
@@ -561,20 +570,20 @@ def jit_multi_update_fn(update_fn, state_sharding, mesh: Mesh):
 
     def traced(train_state, batches, rng):
         with use_mesh(mesh), logical_axis_rules():
+            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+
             def body(state, batch):
                 new_state, m = update_fn(state, batch, rng)
                 return new_state, m
 
-            state, ms = jax.lax.scan(body, train_state, batches)
+            state, ms = jax.lax.scan(body, train_state, stacked)
         return state, jax.tree.map(lambda x: x[-1], ms)
 
-    from openvision_tpu.parallel.mesh import BATCH_SPEC
-
-    data_sh = NamedSharding(mesh, P(None, *BATCH_SPEC))
+    data_sh = batch_sharding(mesh)
     repl = replicated_sharding(mesh)
     return jax.jit(
         traced,
-        donate_argnums=(0,),
+        donate_argnums=(0, 1),
         in_shardings=(state_sharding, data_sh, repl),
         out_shardings=(state_sharding, repl),
     )

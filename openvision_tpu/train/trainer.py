@@ -416,10 +416,24 @@ def train(config, workdir: Optional[str] = None):
                 _has_event(s) for s in range(s0, s0 + steps_per_dispatch - 1)
             ):
                 chunk = steps_per_dispatch
-        try:
-            batches = [next(train_iter) for _ in range(chunk)]
-        except StopIteration:
+        if preempt["hit"]:
+            # SIGTERM already observed: don't open a k-step chunk — the
+            # preemption check below only runs at chunk boundaries, so a
+            # large steps_per_dispatch would multiply the response latency
+            # and could overrun the spot-VM grace window (ADVICE r3).
+            chunk = 1
+        # Fetch one batch at a time so a finite dataset that ends mid-chunk
+        # still trains on the batches already fetched (a short final chunk)
+        # instead of discarding them (ADVICE r3).
+        batches = []
+        for _ in range(chunk):
+            try:
+                batches.append(next(train_iter))
+            except StopIteration:
+                break
+        if not batches:
             break
+        chunk = len(batches)
         step = s0 + chunk - 1
         if s0 == first_step + 1:
             # one rendezvous when every host has its first batch; per-step
@@ -436,11 +450,10 @@ def train(config, workdir: Optional[str] = None):
                     train_state, batches[0], rng_loop
                 )
             else:
-                stacked = jax.tree.map(
-                    lambda *xs: jnp.stack(xs), *batches
-                )
+                # The multi-step program stacks inside jit from donated
+                # inputs — no eager host-side stack doubling peak HBM.
                 train_state, measurements = multi_update_fn(
-                    train_state, stacked, rng_loop
+                    train_state, tuple(batches), rng_loop
                 )
         if workdir and prof_stop and step == prof_stop and jax.process_index() == 0:
             jax.block_until_ready(measurements)

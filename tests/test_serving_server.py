@@ -260,3 +260,44 @@ def test_http_bad_requests(http_server):
     assert status == 400 and "error" in out
     status, out = _request(http_server, "GET", "/nope")
     assert status == 404
+
+
+def test_warmup_pins_zero_steady_state_recompiles(model):
+    """After warmup(), no request mix may trigger an XLA compile.
+
+    The bucket design's contract (docs/SERVING.md): batches pad to a fixed
+    power-of-two set, warmup() precompiles every bucket, so steady state
+    runs 0 compiles regardless of arrival pattern (VERDICT r3 #7).
+    """
+    import logging
+
+    svc = srv.EmbedService(model, int8=False, on_tpu=False,
+                           max_batch=8, max_wait_ms=10.0)
+
+    class Counter(logging.Handler):
+        count = 0
+
+        def emit(self, record):
+            if "Compiling" in record.getMessage():
+                Counter.count += 1
+
+    counter = Counter()
+    logger = logging.getLogger("jax")
+    try:
+        svc.warmup()
+        logger.addHandler(counter)
+        with jax.log_compiles(True):
+            # every bucket size (1,2,4,8) + text mixes, twice over
+            for round_ in range(2):
+                for n in (1, 3, 2, 8, 5):
+                    futs = [svc.embed_image_bytes(_png_bytes(n + i))
+                            for i in range(n)]
+                    for f in futs:
+                        f.result(timeout=120)
+                tf = [svc.embed_text(f"query {round_} {i}") for i in range(3)]
+                for f in tf:
+                    f.result(timeout=120)
+    finally:
+        logger.removeHandler(counter)
+        svc.stop()
+    assert counter.count == 0, f"{counter.count} steady-state recompiles"
