@@ -61,6 +61,13 @@ def get_config(arg: str | None = None) -> ConfigDict:
         # (depth//2 pairs of causal self-attn over the 128 queries +
         # cross-attn to the prefix — never builds the 465-token concat
         # sequence; reference src/models/text_decoder.py:521-555).
+        # MEASURED (docs/PERF_NOTES.md round 4): cross_attn trains
+        # +14-18% faster (193.0 vs 168.5 img/s/chip at L/14@224 bs32,
+        # 202.4 vs 177.8 at bs64, 89.0 vs 75.4 at 336px) with identical
+        # train_demo quality (both 100% zero-shot, caption loss -> 0).
+        # The default stays "concat" ONLY because fusion style changes the
+        # checkpoint layout (crossattn_encoderblock_i trees) and released
+        # reference models use concat — prefer cross_attn for new runs.
         dec_fusion="concat",
         # chunk size for the head-fused caption cross-entropy (0 = build
         # full logits and use plain softmax_xent)
