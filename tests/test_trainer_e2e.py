@@ -48,3 +48,26 @@ def test_train_end_to_end_and_resume(tmp_path):
     c2.total_steps = 5
     state2 = trainer.train(c2, workdir)
     assert optim.get_count(state2["opt"]) == 5
+
+
+@pytest.mark.slow
+def test_train_steps_per_dispatch_chunking(tmp_path):
+    """Trainer-level steps_per_dispatch: the loop must mix k-step scanned
+    dispatches with single steps around events (log cadence 2, 5 total
+    steps -> chunks of 2, 2, 1) and land on the exact step count; the
+    scanned-vs-sequential numerics are pinned by test_multi_dispatch."""
+    workdir = str(tmp_path / "run")
+    c = _tiny_cfg()
+    c.total_steps = 5
+    c.steps_per_dispatch = 2
+    c.log_training_steps = 2
+    c.ckpt_steps = 5
+    state = trainer.train(c, workdir)
+    from openvision_tpu import optim
+
+    assert optim.get_count(state["opt"]) == 5
+    rows = [json.loads(l) for l in open(os.path.join(workdir, "metrics.jsonl"))]
+    losses = {r["step"]: r["training_loss"] for r in rows if "training_loss" in r}
+    # logged at the chunk-boundary steps only, all finite
+    assert set(losses) == {2, 4, 5}, sorted(losses)
+    assert all(np.isfinite(v) for v in losses.values())
