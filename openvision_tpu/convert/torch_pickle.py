@@ -121,7 +121,17 @@ def load_torch_bin(path: str) -> dict:
     """
     with zipfile.ZipFile(path) as zf:
         names = zf.namelist()
-        pkl_name = next(n for n in names if n.endswith("/data.pkl"))
+        pkl_name = next(
+            (n for n in names if n.endswith("/data.pkl")), None
+        )
+        if pkl_name is None:
+            # A valid zip that is not a torch archive (e.g. mislabeled):
+            # raise the same error class as a malformed pickle so callers'
+            # torch-fallback paths (tools/model_io.py) stay reachable.
+            raise pickle.UnpicklingError(
+                f"{path}: zip archive has no */data.pkl — not a torch-zip "
+                "state dict"
+            )
         prefix = pkl_name[: -len("data.pkl")]
 
         def _fill(ref: _StorageRef):

@@ -55,7 +55,16 @@ def decode_variant(variant: str | None) -> dict:
 
 
 class CrossAttnBlock(nn.Module):
-    """Pre-LN cross-attention + MLP residual block (queries ← context)."""
+    """Pre-LN cross-attention + MLP residual block (queries ← context).
+
+    Attention params are ALWAYS DenseGeneral-shaped — query/key/value
+    kernels (embed, heads, head_dim), out kernel (heads, head_dim, embed) —
+    because the reference's crossattn blocks use its nn.MHA subclass
+    unconditionally (text_decoder.py:51,98-108,164-173), unlike its
+    self-attn blocks whose layout follows `use_dense_general`. Matching
+    that layout makes reference cross_attn checkpoints load verbatim
+    (tests/test_reference_checkpoint.py round-trips them).
+    """
 
     num_heads: int
     mlp_dim: Optional[int] = None
@@ -89,6 +98,7 @@ class CrossAttnBlock(nn.Module):
             chunk=self.chunk,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
+            use_dense_general=True,  # reference crossattn layout (see class doc)
             name="MultiHeadDotProductAttention_0",
         )(y, ctx, deterministic=deterministic)
         y = nn.Dropout(rate=self.dropout)(y, deterministic)

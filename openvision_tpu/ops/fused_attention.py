@@ -22,11 +22,13 @@ layout ops the unfused path needs inside a full model.
 
 Every kernel in this file has a fused Pallas backward: the whole-block
 kernel (`_block_bwd_kernel`), its tensor-parallel per-shard variant
-(`_block_partial_bwd_impl`), and the qkv-only kernel (`_qkv_bwd_kernel`).
-All three recompute the forward in-kernel (FlashAttention-style) and
-accumulate weight grads in f32 VMEM blocks across the batch grid, so no
-training path falls back to the unfused jnp reference VJP
-(tests/test_fused_attention.py asserts this on the lowered HLO).
+(`_block_partial_bwd_impl`), the qkv-only kernel (`_qkv_bwd_kernel`), and
+the tensor-parallel qkv path (`_tp_qkv_bwd`, which shard_maps
+`_qkv_bwd_impl` over the local heads). All recompute the forward in-kernel
+(FlashAttention-style) and accumulate weight grads in f32 VMEM blocks
+across the batch grid, so no training path — including TP — falls back to
+the unfused jnp reference VJP (tests/test_fused_attention.py and
+tests/test_fused_tp.py assert this on the lowered HLO).
 """
 
 from __future__ import annotations
@@ -1401,6 +1403,10 @@ def _tp_qkv_fwd(cfg, y, wq, wk, wv, biases):
 
 
 def _tp_qkv_bwd(cfg, res, g):
+    """Backward through the TP qkv Pallas kernel (not a reference VJP):
+    heads are independent across `tensor` shards, so each shard runs the
+    same fused `_qkv_bwd_impl` on its local heads/columns; dy is psum'd
+    over `tensor` and the local-column weight grads over the batch axes."""
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
@@ -1409,12 +1415,9 @@ def _tp_qkv_bwd(cfg, res, g):
     y, wq, wk, wv, biases = res
 
     def body(y, g, wq, wk, wv, biases):
-        _, vjp = jax.vjp(
-            lambda y_, a, b_, c, bias: _reference(
-                y_, a, b_, c, bias, nh_l, sm_scale, causal, prefix),
-            y, wq, wk, wv, biases,
-        )
-        dy_p, dwq, dwk, dwv, dbias = vjp(g)
+        dy_p, dwq, dwk, dwv, dbias = _qkv_bwd_impl(
+            y, wq, wk, wv, biases, g, nh_l, sm_scale, causal, prefix,
+            interpret)
         dy = jax.lax.psum(dy_p, "tensor")
         if baxes:
             dwq = jax.lax.psum(dwq, baxes)

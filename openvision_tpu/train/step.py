@@ -558,9 +558,14 @@ def jit_multi_update_fn(update_fn, state_sharding, mesh: Mesh):
     tests/test_multi_dispatch.py asserts the calibrated bound).
 
     Takes the k batches as a TUPLE of per-step batch trees and stacks
-    them inside the jitted program: the inputs are donated, so the
-    stacked copy can reuse their HBM instead of doubling peak memory the
-    way an eager host-side `jnp.stack` before dispatch would (ADVICE r3).
+    them inside the jitted program, which avoids holding an eager
+    host-side `jnp.stack` copy alive in the caller across the dispatch
+    (ADVICE r3). The batch tuple is NOT donated: a probe on real TPU
+    shows XLA cannot alias the per-step (B, ...) buffers into the
+    (k, B, ...) stacked intermediate ("donated buffers were not usable"
+    fires for every leaf), so donating them bought no memory and only
+    emitted warnings on each multi-step dispatch (ADVICE r4). Only the
+    train state (arg 0) is donated, where aliasing is exact.
 
     Returns the LAST step's telemetry — the trainer only chunks across
     steps with no logging/checkpoint/eval events, so interior telemetry
@@ -583,7 +588,7 @@ def jit_multi_update_fn(update_fn, state_sharding, mesh: Mesh):
     repl = replicated_sharding(mesh)
     return jax.jit(
         traced,
-        donate_argnums=(0, 1),
+        donate_argnums=(0,),
         in_shardings=(state_sharding, data_sh, repl),
         out_shardings=(state_sharding, repl),
     )

@@ -450,8 +450,8 @@ def train(config, workdir: Optional[str] = None):
                     train_state, batches[0], rng_loop
                 )
             else:
-                # The multi-step program stacks inside jit from donated
-                # inputs — no eager host-side stack doubling peak HBM.
+                # The multi-step program stacks the batches inside jit —
+                # no eager host-side stack held alive across the dispatch.
                 train_state, measurements = multi_update_fn(
                     train_state, tuple(batches), rng_loop
                 )

@@ -23,9 +23,15 @@ DTYPE="${DTYPE:-bfloat16}"              # bf16 compute, f32 params
 # fused Pallas blocks at >=336px (577+ tokens, +19% train step vs xla —
 # docs/PERF_NOTES.md "Long-sequence training ladder").
 ATTN="${ATTN:-auto}"
+# Caption-decoder fusion style. cross_attn trains +14-18% faster with
+# identical quality (docs/PERF_NOTES.md round 4) and is the default for NEW
+# runs here; set DEC_FUSION=concat when fine-tuning from a released
+# reference checkpoint (concat is the reference tree layout — fusion style
+# changes the param tree, configs/openvision.py `dec_fusion`).
+DEC_FUSION="${DEC_FUSION:-cross_attn}"
 
 CFG=openvision_tpu/configs/openvision.py
-COMMON="img=${IMG},txt_name=${TXT},txt_decoder_name=${DECODER},remat=${REMAT},dtype=${DTYPE},attn_impl=${ATTN},data_parallelism=${DATA_PARALLEL},fsdp_parallelism=${FSDP},tensor_parallelism=${TENSOR}"
+COMMON="img=${IMG},txt_name=${TXT},txt_decoder_name=${DECODER},remat=${REMAT},dtype=${DTYPE},attn_impl=${ATTN},dec_fusion=${DEC_FUSION},data_parallelism=${DATA_PARALLEL},fsdp_parallelism=${FSDP},tensor_parallelism=${TENSOR}"
 
 run() { python -m openvision_tpu.train.trainer "$@"; }
 

@@ -269,3 +269,40 @@ def test_tp_block_prefix_lm_matches_unsharded():
     for a, b in zip(jax.tree.leaves(gref), jax.tree.leaves(gtp)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-5, rtol=5e-5)
+
+
+def test_tp_qkv_bwd_is_pallas_not_reference_vjp():
+    """ADVICE r4: the TP qkv backward must run the fused Pallas kernel per
+    shard (`_qkv_bwd_impl` inside `_tp_qkv_bwd`), not `jax.vjp` of the jnp
+    reference — the old fallback would reappear in the grad jaxpr as
+    top-level `exp` / `reduce_max` softmax primitives outside pallas_call."""
+    x, p = _args()
+    _, _, wq, bq, wk, bk, wv, bv, _, _ = p
+
+    def loss(x, wq, wk, wv):
+        return jnp.sum(
+            fused_qkv_attention(
+                x, wq, wk, wv, bq, bk, bv, num_heads=4, interpret=True
+            ).astype(jnp.float32)
+            ** 2
+        )
+
+    mesh = create_mesh(data=2, fsdp=2, tensor=2)
+    xs = jax.device_put(x, batch_sharding(mesh))
+    with use_mesh(mesh):
+        jaxpr = jax.make_jaxpr(jax.grad(loss, argnums=(0, 1, 2, 3)))(
+            xs, wq, wk, wv
+        )
+
+    def prims(jpr):
+        for eqn in jpr.eqns:
+            name = eqn.primitive.name
+            if name == "pallas_call":
+                continue  # softmax inside the kernel is the point
+            yield name
+            for sub in jax.core.jaxprs_in_params(eqn.params):
+                yield from prims(sub)
+
+    seen = set(prims(jaxpr.jaxpr))
+    assert "pallas_call" not in seen  # sanity: we skipped them
+    assert not seen & {"exp", "reduce_max"}, sorted(seen)

@@ -122,3 +122,16 @@ def test_load_model_without_torch(tmp_path, monkeypatch):
         {"params": params}, jnp.ones((1, 32, 32, 3)) * 0.1, None
     )
     np.testing.assert_allclose(np.asarray(z), np.asarray(zimg), atol=1e-4)
+
+
+def test_zip_without_data_pkl_raises_unpickling_error(tmp_path):
+    """ADVICE r4: a valid zip that is not a torch archive must raise
+    pickle.UnpicklingError (not a bare StopIteration) so callers get a
+    clear 'not a torch-zip state dict' message."""
+    import zipfile
+
+    p = tmp_path / "mislabeled.bin"
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("readme.txt", "not a torch archive")
+    with pytest.raises(pickle.UnpicklingError, match="data.pkl"):
+        load_torch_bin(str(p))
