@@ -592,7 +592,28 @@ class Encoder(nn.Module):
         attn_impl = self.attn_impl
         fused_t = self._fused_t_eligible(x, deterministic)
         if attn_impl == "fused_t" and not fused_t:
-            attn_impl = "fused"  # safe fallback for unsupported configs
+            # Safe fallback for unsupported configs. Under tensor>1 this
+            # lands on the TP-aware natural-layout fused Pallas path
+            # (fused_mhsa_block_tp / _tp_qkv — still fully fused fwd+bwd,
+            # ~15% slower per block than the transposed stream). A TP
+            # transposed stream would gain nothing structural: the psum
+            # between attention and MLP forces a reshard per block, which
+            # is exactly the relayout fused_t exists to avoid
+            # (docs/PARITY.md "Known gaps"; tests/test_fused_tp.py
+            # covers values+grads of this degrade).
+            from openvision_tpu.parallel import active_mesh
+
+            mesh = active_mesh()
+            if mesh is not None and mesh.shape.get("tensor", 1) > 1:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "attn_impl=fused_t is batch-sharded only; tensor=%d "
+                    "mesh active -> using the TP-aware 'fused' path "
+                    "(natural layout, ~15%% slower per block)",
+                    mesh.shape["tensor"],
+                )
+            attn_impl = "fused"
 
         block_cls = EncoderBlock
         if self.remat_policy != "none":

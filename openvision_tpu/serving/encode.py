@@ -29,14 +29,32 @@ from openvision_tpu.parallel import on_accelerator
 IMG_EXTS = (".png", ".jpg", ".jpeg", ".webp", ".bmp")
 
 
-def build_encode_fn(model, *, int8: bool, on_tpu: bool):
+def build_encode_fn(model, *, int8: bool, on_tpu: bool,
+                    uint8_input: bool = False):
     # params ride as jit ARGUMENTS (a closure would embed hundreds of MB of
     # weights as program constants — oversized executables/compile requests)
+    #
+    # uint8_input=True: the program takes RAW uint8 pixels and fuses the
+    # /255 + mean/std normalization into the graph (XLA folds it into the
+    # patch-embed read) — 4x less host→device transfer and zero host-side
+    # float conversion, the same device_norm idiom the evaluators use
+    # (docs/PERF_NOTES.md "Zero-shot eval at scale"). The serving daemon's
+    # raw-tensor endpoint rides this path.
     vision = model.vision
+    if uint8_input:
+        mean = jnp.asarray(model.mean, jnp.float32).reshape(1, 1, 1, 3)
+        std = jnp.asarray(model.std, jnp.float32).reshape(1, 1, 1, 3)
+
+        def _norm(x):
+            return (x.astype(jnp.float32) / 255.0 - mean) / std
+    else:
+        def _norm(x):
+            return x
+
     if not int8:
         @jax.jit
         def encode_p(params, images):
-            z = vision.apply({"params": params}, images)
+            z = vision.apply({"params": params}, _norm(images))
             return z / (jnp.linalg.norm(z, axis=-1, keepdims=True) + 1e-8)
 
         params = model.params["img"]
@@ -54,7 +72,7 @@ def build_encode_fn(model, *, int8: bool, on_tpu: bool):
     @jax.jit
     def encode_q(qp, images):
         return quantized_encode_fused(
-            qp, images, patch_size=patch, num_heads=vision.num_heads,
+            qp, _norm(images), patch_size=patch, num_heads=vision.num_heads,
             depth=vision.depth, posemb=posemb, interpret=not on_tpu)
 
     return lambda images: encode_q(qp, images)

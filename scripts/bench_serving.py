@@ -43,7 +43,7 @@ class _CompileCounter(logging.Handler):
             self.count += 1
 
 
-def build_model(res, variant, txt_variant, vocab_path):
+def build_model(res, variant, txt_variant, vocab_path, attn_impl="xla"):
     import jax
     import jax.numpy as jnp
 
@@ -55,6 +55,7 @@ def build_model(res, variant, txt_variant, vocab_path):
     vision = vit_mod.Model(
         num_classes=768, variant=variant, posemb="sincos2d", pool_type="gap",
         emb_head_bias=False, output_tokens=False, dtype=jnp.bfloat16,
+        attn_impl=attn_impl, fast_gelu=attn_impl == "fused_t",
     )
     text = text_mod.Model(
         num_classes=768, variant=txt_variant, pool_type="last",
@@ -88,20 +89,19 @@ def jpeg_bytes(res) -> bytes:
     return buf.getvalue()
 
 
-def sweep(port, payload, concurrency, n_requests):
+def sweep(port, payload, concurrency, n_requests, *, path="/v1/embed/image",
+          headers=None, rows_per_request=1):
     lat = []
     lock = threading.Lock()
-    per = n_requests // concurrency
+    per = max(1, n_requests // concurrency)
+    hdrs = headers or {"Content-Type": "image/jpeg"}
 
     def client():
         conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
         mine = []
         for _ in range(per):
             t0 = time.perf_counter()
-            conn.request(
-                "POST", "/v1/embed/image", body=payload,
-                headers={"Content-Type": "image/jpeg"},
-            )
+            conn.request("POST", path, body=payload, headers=hdrs)
             resp = conn.getresponse()
             body = resp.read()
             assert resp.status == 200, body[:200]
@@ -119,10 +119,12 @@ def sweep(port, payload, concurrency, n_requests):
     wall = time.perf_counter() - t0
     lat.sort()
     pct = lambda p: lat[min(len(lat) - 1, int(p * len(lat)))]
+    rps = len(lat) / wall
     return {
         "concurrency": concurrency,
         "requests": len(lat),
-        "req_per_s": round(len(lat) / wall, 1),
+        "req_per_s": round(rps, 1),
+        "img_per_s": round(rps * rows_per_request, 1),
         "p50_ms": round(pct(0.50) * 1e3, 1),
         "p95_ms": round(pct(0.95) * 1e3, 1),
     }
@@ -137,8 +139,21 @@ def main():
     ap.add_argument("--img", default="L/14")
     ap.add_argument("--txt", default="B")
     ap.add_argument("--res", type=int, default=224)
+    ap.add_argument("--attn", default="xla",
+                    help="vision attn_impl (fused_t = the flagship encode)")
     ap.add_argument("--port", type=int, default=18231)
     ap.add_argument("--int8", action="store_true")
+    ap.add_argument(
+        "--payload", default="jpeg", choices=["jpeg", "tensor"],
+        help="jpeg: one JPEG per request (PIL decode in HTTP workers — the "
+        "r4 host-bound mode). tensor: raw uint8 pixel rows via "
+        "/v1/embed/tensor with octet-stream replies — no decode, the "
+        "device-saturation mode (VERDICT r4 #2)",
+    )
+    ap.add_argument(
+        "--rows", type=int, default=8,
+        help="rows per tensor request (amortizes HTTP per-request overhead)",
+    )
     ap.add_argument(
         "--mesh", type=int, default=0,
         help=">1: batch-parallel multi-chip serving over an N-device mesh "
@@ -154,7 +169,8 @@ def main():
 
     mesh = create_mesh(data=args.mesh) if args.mesh > 1 else None
     model = build_model(
-        args.res, args.img, args.txt, "assets/bert_base_vocab_bos_eos.txt"
+        args.res, args.img, args.txt, "assets/bert_base_vocab_bos_eos.txt",
+        attn_impl=args.attn,
     )
     svc = srv.EmbedService(
         model, int8=args.int8, on_tpu=on_accelerator(),
@@ -167,7 +183,25 @@ def main():
     t0 = time.perf_counter()
     svc.warmup()
     warmup_s = time.perf_counter() - t0
-    payload = jpeg_bytes(args.res)
+    if args.payload == "tensor":
+        rng = np.random.default_rng(0)
+        rows = rng.integers(
+            0, 256, (args.rows, args.res, args.res, 3), dtype=np.uint8
+        )
+        payload = rows.tobytes()
+        sweep_kw = dict(
+            path="/v1/embed/tensor",
+            headers={
+                "Content-Type": "application/octet-stream",
+                "Accept": "application/octet-stream",
+                "X-Tensor-Shape": ",".join(map(str, rows.shape)),
+                "X-Tensor-Dtype": "uint8",
+            },
+            rows_per_request=args.rows,
+        )
+    else:
+        payload = jpeg_bytes(args.res)
+        sweep_kw = {}
 
     counter = _CompileCounter()
     # compile logs propagate up to the "jax" logger regardless of which
@@ -178,7 +212,8 @@ def main():
     try:
         with jax.log_compiles(True):
             for level in [int(x) for x in args.levels.split(",")]:
-                r = sweep(args.port, payload, level, args.requests)
+                r = sweep(args.port, payload, level, args.requests,
+                          **sweep_kw)
                 r["stats"] = svc.stats()["image"]
                 results.append(r)
                 print(json.dumps(r), flush=True)
@@ -192,9 +227,12 @@ def main():
         "mesh": args.mesh or 1,
         "int8": bool(args.int8),
         "max_batch": args.max_batch,
+        "payload": args.payload,
+        "rows_per_request": args.rows if args.payload == "tensor" else 1,
         "warmup_s": round(warmup_s, 1),
         "steady_state_recompiles": counter.count,
         "peak_req_per_s": max(r["req_per_s"] for r in results),
+        "peak_img_per_s": max(r["img_per_s"] for r in results),
     }
     print(json.dumps(summary), flush=True)
 

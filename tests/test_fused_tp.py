@@ -306,3 +306,51 @@ def test_tp_qkv_bwd_is_pallas_not_reference_vjp():
     seen = set(prims(jaxpr.jaxpr))
     assert "pallas_call" not in seen  # sanity: we skipped them
     assert not seen & {"exp", "reduce_max"}, sorted(seen)
+
+
+def test_fused_t_under_tensor_parallel_degrades_to_tp_fused(caplog):
+    """VERDICT r4 #4: `attn_impl=fused_t` under tensor>1 must degrade to the
+    TP-aware natural-layout fused Pallas path — values AND grads matching
+    the unsharded fused_t model — and must SAY so (a logged warning, not a
+    silent perf cliff)."""
+    import logging
+
+    from openvision_tpu.models import vit as vit_mod
+    from openvision_tpu.parallel import unbox
+
+    m = vit_mod.Model(
+        num_classes=32, variant="mu/16", posemb="sincos2d", pool_type="gap",
+        output_tokens=False, emb_head_bias=False, head_zeroinit=False,
+        fast_gelu=True, attn_impl="fused_t",
+    )
+    img = jax.random.normal(jax.random.PRNGKey(1), (8, 48, 48, 3))
+    params = unbox(m.init(jax.random.PRNGKey(0), img[:1])["params"])
+    ref = m.apply({"params": params}, img)
+
+    def loss(p, x):
+        return jnp.sum(m.apply({"params": p}, x).astype(jnp.float32) ** 2)
+
+    gref = jax.grad(loss)(params, img)
+
+    mesh = create_mesh(data=2, fsdp=2, tensor=2)
+    imgs = jax.device_put(img, batch_sharding(mesh))
+    with use_mesh(mesh), caplog.at_level(logging.WARNING):
+        out = jax.jit(lambda p, x: m.apply({"params": p}, x))(params, imgs)
+        gtp = jax.jit(jax.grad(loss))(params, imgs)
+    assert any(
+        "fused_t is batch-sharded only" in r.getMessage()
+        for r in caplog.records
+    ), [r.getMessage() for r in caplog.records][:5]
+
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                               atol=1e-4, rtol=1e-4)
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(gref),
+        jax.tree_util.tree_leaves_with_path(gtp),
+        strict=True,
+    ):
+        assert pa == pb
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-3,
+            err_msg=jax.tree_util.keystr(pa),
+        )

@@ -74,8 +74,8 @@ def test_multi_dispatch_matches_sequential(mesh_shape):
     ]
     rng_loop = jax.device_put(jax.random.PRNGKey(1), replicated_sharding(mesh))
 
-    # jit donates the state (and multi donates the batches); run each path
-    # from its own copies.
+    # jit donates the state (batches are NOT donated — ADVICE r4); run each
+    # path from its own state copy.
     state_seq = jax.tree.map(jnp.copy, state)
     meas_seq = None
     for b in batches:

@@ -301,3 +301,113 @@ def test_warmup_pins_zero_steady_state_recompiles(model):
         logger.removeHandler(counter)
         svc.stop()
     assert counter.count == 0, f"{counter.count} steady-state recompiles"
+
+
+def test_service_tensor_uint8_matches_float_path(service, model):
+    """Raw uint8 rows through the tensor API == host-preprocessed float32
+    rows through the JPEG API: the on-device /255+mean/std normalization
+    must match model.preprocess exactly (VERDICT r4 #2 saturation path)."""
+    rng = np.random.default_rng(3)
+    raw = rng.integers(0, 256, (3, RES, RES, 3), dtype=np.uint8)
+
+    futs = service.embed_image_tensor(raw)
+    got_u8 = np.stack([f.result(timeout=60) for f in futs])
+
+    pre = np.stack([model.preprocess(r) for r in raw]).astype(np.float32)
+    futs = service.embed_image_tensor(pre)
+    got_f32 = np.stack([f.result(timeout=60) for f in futs])
+
+    want = np.asarray(model.encode_image(jnp.asarray(pre)))
+    np.testing.assert_allclose(got_u8, want, atol=1e-4)
+    np.testing.assert_allclose(got_f32, want, atol=1e-5)
+
+
+def test_service_tensor_rejects_bad_rows(service):
+    with pytest.raises(ValueError, match="rows must be"):
+        service.embed_image_tensor(np.zeros((2, RES + 1, RES, 3), np.uint8))
+    with pytest.raises(ValueError, match="dtype"):
+        service.embed_image_tensor(np.zeros((1, RES, RES, 3), np.float64))
+
+
+def test_http_tensor_endpoint_json_and_raw(http_server, model):
+    rng = np.random.default_rng(11)
+    rows = rng.integers(0, 256, (2, RES, RES, 3), dtype=np.uint8)
+    hdrs = {
+        "Content-Type": "application/octet-stream",
+        "X-Tensor-Shape": ",".join(map(str, rows.shape)),
+        "X-Tensor-Dtype": "uint8",
+    }
+    status, out = _request(http_server, "POST", "/v1/embed/tensor",
+                           body=rows.tobytes(), headers=hdrs)
+    assert status == 200 and out["dim"] == E and len(out["embeddings"]) == 2
+
+    # octet-stream reply: raw float32 bytes + shape header
+    conn = http.client.HTTPConnection(*http_server, timeout=120)
+    conn.request(
+        "POST", "/v1/embed/tensor", body=rows.tobytes(),
+        headers={**hdrs, "Accept": "application/octet-stream"},
+    )
+    resp = conn.getresponse()
+    body = resp.read()
+    shape = tuple(int(x) for x in resp.getheader("X-Tensor-Shape").split(","))
+    conn.close()
+    assert resp.status == 200 and shape == (2, E)
+    z = np.frombuffer(body, np.float32).reshape(shape)
+    np.testing.assert_allclose(z, np.asarray(out["embeddings"]), atol=1e-6)
+
+    # malformed header -> 400, not a hung request
+    status, out = _request(
+        http_server, "POST", "/v1/embed/tensor", body=b"",
+        headers={"X-Tensor-Shape": "nope", "X-Tensor-Dtype": "uint8"})
+    assert status == 400
+
+
+def test_dynamic_batcher_pipelined_orders_and_isolates_errors():
+    """Pipelined dispatch/finalize mode (round 5): results must complete in
+    arrival order even with several batches in flight, a finalize failure
+    must fail only its own batch, and stop() must drain in-flight work."""
+    import threading as _threading
+
+    finalize_started = _threading.Event()
+
+    def dispatch(items):
+        return list(items)  # "handle" = the payloads
+
+    def finalize(handle):
+        finalize_started.set()
+        time.sleep(0.02)  # device latency: lets several batches pile up
+        if any(x < 0 for x in handle):
+            raise ValueError("negative")
+        return [x * 2 for x in handle]
+
+    b = srv.DynamicBatcher(
+        dispatch=dispatch, finalize=finalize, pipeline_depth=2,
+        max_batch=4, max_wait_ms=2.0)
+    try:
+        futs = [b.submit(float(i)) for i in range(12)]
+        out = [f.result(timeout=20) for f in futs]
+        assert out == [2.0 * i for i in range(12)]
+        st = b.stats()
+        assert st["requests"] == 12 and st["batches"] >= 3
+
+        bad = b.submit(-1.0)
+        with pytest.raises(ValueError):
+            bad.result(timeout=20)
+        good = b.submit(5.0)  # pipeline must survive the failed batch
+        assert good.result(timeout=20) == 10.0
+    finally:
+        b.stop()
+
+
+def test_service_pipelined_results_match_direct(service, model):
+    """End-to-end through the pipelined image batcher: a burst larger than
+    max_batch (forcing >=2 in-flight batches) must return every embedding
+    bit-identical to a direct jitted encode."""
+    rng = np.random.default_rng(5)
+    raw = rng.integers(0, 256, (3 * 8, RES, RES, 3), dtype=np.uint8)  # 3 buckets
+    futs = service.embed_image_tensor(raw)
+    got = np.stack([f.result(timeout=120) for f in futs])
+
+    pre = np.stack([model.preprocess(r) for r in raw]).astype(np.float32)
+    want = np.asarray(model.encode_image(jnp.asarray(pre)))
+    np.testing.assert_allclose(got, want, atol=1e-4)
