@@ -500,13 +500,25 @@ _mhsa_t.defvjp(_mhsa_t_fwd, _mhsa_t_vjp)
 
 
 def _mlp_t_kernel(xT_ref, w1_ref, w2_ref, vecT_ref, b1T_ref, o_ref, *,
-                  eps, nimg=1):
+                  eps, nimg=1, hchunks=1):
     """vecT_ref (D, 8) cols: 0=ln2_scale 1=ln2_bias 2=b2; b1T_ref (4D, 1).
 
     `nimg` images' lanes run CONCATENATED through LN and both dots
     (nimg·LPAT columns — wider MXU tiles, same trick as the MHSA-T kernel).
+
+    `hchunks` splits the HIDDEN dim: fc1 columns / GELU / fc2 rows run
+    chunk-by-chunk, so the VPU's tanh-GELU of chunk c overlaps the MXU
+    dots of chunk c±1 instead of serializing between two monolithic
+    matmuls (each h element still sees the full D contraction, so fc1 and
+    GELU are bitwise unchanged; only fc2's f32 accumulation order moves).
+    Measured on v5e (profile_encode.py round 5): chunking is a wash —
+    the kernel already matches bare-XLA matmul throughput at identical
+    shapes to 0.7% (61.4 vs 61.0 us/step), i.e. it sits on the chip's
+    ACHIEVABLE matmul ceiling (~71-77% of the 197T nameplate at ViT
+    lane widths), and the GELU/LN are fully hidden behind the dots.
     """
     lpat = xT_ref.shape[2]
+    mlp_dim = w1_ref.shape[1]
     xT = (xT_ref[0] if nimg == 1 else
           jnp.concatenate([xT_ref[i] for i in range(nimg)], axis=1))
     cdt = xT.dtype
@@ -515,29 +527,45 @@ def _mlp_t_kernel(xT_ref, w1_ref, w2_ref, vecT_ref, b1T_ref, o_ref, *,
     var = jnp.mean(xf * xf, axis=0, keepdims=True) - mean * mean
     y = (xf - mean) * jax.lax.rsqrt(var + eps)
     y = (y * vecT_ref[:, 0:1] + vecT_ref[:, 1:2]).astype(cdt)
-    h = jax.lax.dot_general(
-        w1_ref[...], y, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)  # (4D, nimg*LPAT)
-    h = h + b1T_ref[...]
-    # tanh-approximate GELU (jax.nn.gelu approximate=True)
-    h = 0.5 * h * (1.0 + jnp.tanh(0.7978845608028654 * (h + 0.044715 * h * h * h)))
-    h = h.astype(cdt)
-    out = jax.lax.dot_general(
-        w2_ref[...], h, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)  # (D, nimg*LPAT)
+
+    out = None
+    csz = mlp_dim // hchunks
+    for c in range(hchunks):
+        rows = slice(c * csz, (c + 1) * csz)
+        h = jax.lax.dot_general(
+            w1_ref[:, rows], y, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (csz, nimg*LPAT)
+        h = h + b1T_ref[rows]
+        # tanh-approximate GELU (jax.nn.gelu approximate=True)
+        h = 0.5 * h * (
+            1.0 + jnp.tanh(0.7978845608028654 * (h + 0.044715 * h * h * h)))
+        h = h.astype(cdt)
+        part = jax.lax.dot_general(
+            w2_ref[rows], h, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (D, nimg*LPAT)
+        out = part if out is None else out + part
     out = out + vecT_ref[:, 2:3]
     for i in range(nimg):
         o_ref[i] = (out[:, i * lpat:(i + 1) * lpat]).astype(
             o_ref.dtype) + xT_ref[i]
 
 
-def _mlp_t_call(xT, w1, w2, vecT, b1T, *, eps, interpret, nimg=None):
+def _mlp_t_call(xT, w1, w2, vecT, b1T, *, eps, interpret, nimg=None,
+                hchunks=None):
     b, d, lpat = xT.shape
     mlp_dim = w1.shape[1]
     if nimg is None:
         nimg = 2 if b % 2 == 0 else 1
+    if hchunks is None:
+        # A/B-measured on v5e at L/14 shapes (docs/PERF_NOTES.md round 5):
+        # 1/2/4/8 chunks are all within noise (30.7-31.1 us/img) — Mosaic
+        # already overlaps the VPU GELU with the MXU dots (an identity
+        # activation times identically), so the monolithic form stays the
+        # default and the knob remains for other geometries.
+        hchunks = 1
     return pl.pallas_call(
-        functools.partial(_mlp_t_kernel, eps=eps, nimg=nimg),
+        functools.partial(_mlp_t_kernel, eps=eps, nimg=nimg,
+                          hchunks=hchunks),
         grid=(b // nimg, 1, 1),
         in_specs=[
             pl.BlockSpec((nimg, d, lpat), lambda i, _, __: (i, 0, 0)),

@@ -227,3 +227,27 @@ def test_tblock_so400m_style_geometry():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-3,
             err_msg=f"grad mismatch for arg {i}")
+
+
+def test_mlp_t_hidden_chunking_matches_monolithic():
+    """`hchunks` splits the MLP kernel's hidden dim (a perf knob measured
+    neutral on v5e — PERF_NOTES round 5). fc1/GELU are bitwise unchanged by
+    construction; fc2's f32 accumulation order moves, so allclose."""
+    from openvision_tpu.ops.fused_encoder import _mlp_t_call
+
+    d, mlp, lpat, b = 16, 64, 128, 4
+    ks = jax.random.split(jax.random.PRNGKey(5), 4)
+    xT = jax.random.normal(ks[0], (b, d, lpat))
+    w1 = jax.random.normal(ks[1], (d, mlp)) * 0.2
+    w2 = jax.random.normal(ks[2], (mlp, d)) * 0.2
+    vecT = jnp.concatenate(
+        [jnp.ones((d, 1)), jnp.zeros((d, 7))], axis=1).astype(jnp.float32)
+    b1T = jnp.zeros((mlp, 1), jnp.float32)
+
+    base = _mlp_t_call(xT, w1, w2, vecT, b1T, eps=1e-6, interpret=True,
+                       hchunks=1)
+    for hc in (2, 4):
+        out = _mlp_t_call(xT, w1, w2, vecT, b1T, eps=1e-6, interpret=True,
+                          hchunks=hc)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(base),
+                                   atol=1e-5, rtol=1e-5)
