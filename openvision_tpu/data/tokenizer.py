@@ -115,21 +115,38 @@ class WordPieceTokenizer:
         self.bos_id = self.vocab.get("[bos]")
         self.eos_id = self.vocab.get("[eos]")
 
+        self._vocab_path = vocab_path
+        self._init_native()
+
+    def _init_native(self):
         # Native C++ hot path (openvision_tpu/native/wordpiece.cpp) when
         # libwordpiece.so is built and the defaults apply; verified on a
         # canary string at load, falls back to pure Python otherwise.
         self._native = None
-        if lower_case and unk_token == "[UNK]" and suffix == "##":
+        if (self.lower_case and self.unk_token == "[UNK]"
+                and self.suffix == "##"):
             try:
                 from openvision_tpu.native.wordpiece import load_native
 
-                native = load_native(vocab_path)
+                native = load_native(self._vocab_path)
                 if native is not None:
                     canary = "Hello, naïve WordPiece test — ÜBER 123!"
                     if native.encode(canary) == self._encode_py(canary):
                         self._native = native
             except Exception:
                 self._native = None
+
+    def __getstate__(self):
+        # grain worker processes cloudpickle the pp transforms, and the
+        # native handle is a ctypes object with pointers — drop it and
+        # re-probe in the worker (each process gets its own lib handle).
+        state = self.__dict__.copy()
+        state["_native"] = None
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._init_native()
 
     def wordpiece(self, word: str) -> List[int]:
         if len(word) > self.max_chars:

@@ -57,3 +57,30 @@ def test_inference_pipeline_pads_final_batch():
     masks = np.concatenate([b["_mask"] for b in batches])
     assert masks.sum() == 10
     assert list(masks[:10]) == [1.0] * 10
+
+
+def test_training_pipeline_multiworker_matches_inprocess():
+    """grain worker processes cloudpickle every transform — the native
+    wordpiece tokenizer's ctypes handle used to break this ("ctypes objects
+    containing pointers cannot be pickled", found by
+    scripts/bench_pipeline.py round 5). The tokenizer now drops/re-probes
+    its handle across pickling. Workers interleave BATCHES, so order is not
+    comparable — but each record's content is deterministic (per-record pp
+    RNG), so one epoch's rows must match as a multiset."""
+    c = _cfg()
+
+    def epoch_rows(workers):
+        loader, n = pipe.training(c.input, seed=0, num_workers=workers)
+        it = iter(loader)
+        rows = []
+        for _ in range(n // c.input.batch_size):
+            batch = next(it)
+            for i in range(c.input.batch_size):
+                rows.append(hash(tuple(
+                    batch[k][i].tobytes() for k in sorted(batch)
+                )))
+        return rows
+
+    a, b = epoch_rows(0), epoch_rows(2)
+    assert len(a) == len(b) == 64
+    assert sorted(a) == sorted(b)
