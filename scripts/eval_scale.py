@@ -116,6 +116,11 @@ def main():
         help="Orbax checkpoints dir (e.g. /tmp/train_demo/run/checkpoints) "
         "to evaluate TRAINED weights instead of random init",
     )
+    ap.add_argument(
+        "--dec_fusion", default="concat", choices=["concat", "cross_attn"],
+        help="demo mode: decoder fusion of the checkpoint being restored "
+        "(fusion changes the param tree)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -127,14 +132,22 @@ def main():
     from openvision_tpu.train import step as step_mod
 
     if args.demo:
-        # geometry/pp must match scripts/train_demo.py's demo_config
-        args.res, args.img, args.txt = 64, "Ti/16", "Ti"
+        # geometry/pp must match scripts/train_demo.py's demo_config;
+        # --img/--txt/--res override for bigger-tower demo runs (e.g.
+        # S/16 hard-mode, round 5), defaults stay the Ti demo
+        if args.img == "L/14":
+            args.img = "Ti/16"
+        if args.txt == "B":
+            args.txt = "Ti"
+        if args.res == 224:
+            args.res = 64
         args.root = args.root if args.root != "/tmp/eval_scale" else "/tmp/train_demo"
         data_dir = os.path.join(args.root, "eval_tfrecord")
         raw_dir = os.path.join(args.root, "eval_raw")
         token_len, device_norm, templates = 16, "vgg", "simple"
         c = cfg_mod.get_config(
-            f"res=64,img=Ti/16,txt_name=Ti,txt_decoder_name=Ti,"
+            f"res={args.res},img={args.img},txt_name={args.txt},"
+            f"txt_decoder_name={args.txt},dec_fusion={args.dec_fusion},"
             f"token_len=16,output_token_len=16,vocab_size=30522,"
             f"runlocal=True,remat=none,attn_impl=xla,dec_attn_impl=xla,"
             f"dtype=bfloat16"

@@ -37,7 +37,21 @@ CLASS_WORDS = [
 ]
 
 
-def render(cls: int, rng: np.random.Generator, res: int) -> np.ndarray:
+# hard mode (--colors N): classes become (color, word) pairs — the color is
+# a channel tint on the word's pattern, so the model must separate two
+# partially-confusable axes instead of 32 orthogonal patterns. This shrinks
+# the zero-shot logit margins to a non-degenerate regime, which is what the
+# int8 budget measurement needs (VERDICT r4 Weak #6 / #8-stretch).
+COLOR_TINTS = {
+    "red": (1.0, 0.45, 0.45),
+    "green": (0.45, 1.0, 0.45),
+    "blue": (0.45, 0.55, 1.0),
+    "yellow": (1.0, 1.0, 0.4),
+}
+
+
+def render(cls: int, rng: np.random.Generator, res: int,
+           tint: tuple | None = None, noise: float = 8.0) -> np.ndarray:
     """A class-identifying image: fixed 4x4 pattern per class, upsampled,
     plus per-sample brightness/noise so the task isn't pure memorization."""
     from PIL import Image
@@ -48,14 +62,22 @@ def render(cls: int, rng: np.random.Generator, res: int) -> np.ndarray:
     img = np.asarray(
         Image.fromarray(base).resize((res, res), Image.BILINEAR), np.float32
     )
-    img = img * rng.uniform(0.8, 1.2) + rng.normal(0, 8.0, img.shape)
+    if tint is not None:
+        img = img * np.asarray(tint, np.float32)
+    img = img * rng.uniform(0.8, 1.2) + rng.normal(0, noise, img.shape)
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
-def build_dataset(root: str, classes: int, n_train: int, n_eval: int, res: int):
+def build_dataset(root: str, classes: int, n_train: int, n_eval: int,
+                  res: int, colors: int = 0, noise: float = 8.0):
     """Writes train JPEGs + train.jsonl and an eval TFRecord dir.
 
-    Returns (jsonl_path, eval_tfrecord_dir, class_words).
+    `colors > 0` activates hard mode: the label set becomes the cross
+    product {color} × {word} (e.g. 24 words × 4 colors = 96 classes) and
+    captions name both attributes, so the embedding must separate two
+    partially-shared visual axes instead of `classes` orthogonal patterns.
+
+    Returns (jsonl_path, eval_tfrecord_dir, class_names).
     """
     from PIL import Image
 
@@ -63,6 +85,16 @@ def build_dataset(root: str, classes: int, n_train: int, n_eval: int, res: int):
 
     words = CLASS_WORDS[:classes]
     assert len(words) == classes, f"need <= {len(CLASS_WORDS)} classes"
+    if colors:
+        color_names = list(COLOR_TINTS)[:colors]
+        # label id c -> (pattern word c // colors, tint c % colors)
+        labels = [f"{cn} {w}" for w in words for cn in color_names]
+        tints = [COLOR_TINTS[cn] for _ in words for cn in color_names]
+        patterns = [wi for wi in range(classes) for _ in color_names]
+    else:
+        labels, tints, patterns = words, [None] * classes, list(range(classes))
+    n_classes = len(labels)
+
     train_dir = os.path.join(root, "train")
     jsonl_path = os.path.join(root, "train.jsonl")
     eval_raw = os.path.join(root, "eval_raw")
@@ -73,16 +105,16 @@ def build_dataset(root: str, classes: int, n_train: int, n_eval: int, res: int):
         rng = np.random.default_rng(0)
         rows = []
         for i in range(n_train):
-            c = i % classes
+            c = i % n_classes
             rel = f"{i:06d}.jpg"
-            Image.fromarray(render(c, rng, res)).save(
-                os.path.join(train_dir, rel), quality=90
-            )
+            Image.fromarray(
+                render(patterns[c], rng, res, tint=tints[c], noise=noise)
+            ).save(os.path.join(train_dir, rel), quality=90)
             rows.append(
                 {
                     "jpg": rel,
-                    "txt": f"a photo of a {words[c]}",
-                    "llava_caption": f"an image showing the {words[c]}",
+                    "txt": f"a photo of a {labels[c]}",
+                    "llava_caption": f"an image showing the {labels[c]}",
                 }
             )
         with open(jsonl_path + ".tmp", "w") as f:
@@ -92,16 +124,16 @@ def build_dataset(root: str, classes: int, n_train: int, n_eval: int, res: int):
 
     if not os.path.exists(os.path.join(eval_out, "label.labels.txt")):
         rng = np.random.default_rng(1)
-        for c, w in enumerate(words):
-            d = os.path.join(eval_raw, f"{c:03d}_{w}")
+        for c, name in enumerate(labels):
+            d = os.path.join(eval_raw, f"{c:03d}_{name}")
             os.makedirs(d, exist_ok=True)
-            for i in range(n_eval // classes):
-                Image.fromarray(render(c, rng, res)).save(
-                    os.path.join(d, f"img{i}.jpg"), quality=90
-                )
+            for i in range(max(1, n_eval // n_classes)):
+                Image.fromarray(
+                    render(patterns[c], rng, res, tint=tints[c], noise=noise)
+                ).save(os.path.join(d, f"img{i}.jpg"), quality=90)
         prepare.prepare(eval_raw, eval_out, split="validation", shards=4)
 
-    return jsonl_path, eval_out, words
+    return jsonl_path, eval_out, labels
 
 
 def demo_config(args, jsonl_path: str, eval_dir: str, words):
@@ -170,12 +202,18 @@ def main():
     ap.add_argument("--n_train", type=int, default=8192)
     ap.add_argument("--n_eval", type=int, default=1024)
     ap.add_argument("--root", default="/tmp/train_demo")
+    ap.add_argument("--colors", type=int, default=0,
+                    help=">0: hard mode — label set = colors x words "
+                    "(shrinks zero-shot margins; int8-budget regime)")
+    ap.add_argument("--noise", type=float, default=8.0,
+                    help="per-sample pixel noise sigma (higher = harder)")
     args = ap.parse_args()
 
     from openvision_tpu.train import trainer
 
     jsonl_path, eval_dir, words = build_dataset(
-        args.root, args.classes, args.n_train, args.n_eval, args.res
+        args.root, args.classes, args.n_train, args.n_eval, args.res,
+        colors=args.colors, noise=args.noise,
     )
 
     workdir = os.path.join(args.root, "run")
