@@ -90,3 +90,26 @@ def test_mixture_degrades_gracefully():
     it2 = pipe.start_input_pipeline(mix, mesh, prefetch=0, state=b"x")
     with pytest.raises(ValueError, match="not\\s+checkpointable"):
         next(it2)
+
+
+def test_device_iterator_state_resumes_with_workers():
+    """Exact-batch resume must survive grain worker PROCESSES: the state of
+    a worker_count=2 iterator (which interleaves per-worker streams) must
+    restore mid-stream to the same upcoming batches — workers are how
+    production hosts run (round 5; composes with the tokenizer pickling
+    fix in data/tokenizer.py)."""
+    mesh = create_mesh(data=8)
+
+    def loader():
+        return pipe.training(_input_cfg(), seed=3, num_workers=2)[0]
+
+    it = pipe.start_input_pipeline(loader(), mesh, prefetch=1)
+    _take(it, 3)
+    state = it.get_state()
+    assert isinstance(state, bytes)
+    ahead = _take(it, 2)
+
+    it2 = pipe.start_input_pipeline(loader(), mesh, prefetch=1, state=state)
+    resumed = _take(it2, 2)
+    for a, b in zip(ahead, resumed):
+        np.testing.assert_array_equal(a, b)

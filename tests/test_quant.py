@@ -228,3 +228,48 @@ def test_disclf_int8_flag():
     # random tiny model: quantization may flip borderline argmaxes, but the
     # two paths must not diverge wholesale
     assert abs(acc1 - acc2) <= 0.25, (acc1, acc2)
+
+
+def test_int8_uint8_input_encode_matches_float_input():
+    """build_encode_fn(int8=True, uint8_input=True): the raw-pixel serving
+    path fuses /255+mean/std INTO the quantized program — outputs must
+    match feeding the same normalization computed on the host into the
+    float-input int8 program (round 5 tensor endpoint, int8 daemon mode)."""
+    from openvision_tpu.serving.encode import build_encode_fn
+    from openvision_tpu.tools.model_io import LoadedModel
+    from openvision_tpu.models import text as text_mod
+
+    vision = vit_mod.Model(
+        num_classes=64, variant="Ti/16", posemb="sincos2d", pool_type="gap",
+        output_tokens=False, emb_head_bias=False, fast_gelu=True,
+    )
+    text = text_mod.Model(
+        num_classes=64, variant="Ti", pool_type="last", vocab_size=64,
+        output_tokens=False,
+    )
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    params = {
+        "img": unbox(vision.init(k1, jnp.zeros((1, 64, 64, 3)))["params"]),
+        "txt": unbox(text.init(k2, jnp.zeros((1, 8), jnp.int32))["params"]),
+        "t": np.zeros((1,), np.float32),
+    }
+    mean = (0.48145466, 0.4578275, 0.40821073)
+    std = (0.26862954, 0.26130258, 0.27577711)
+    model = LoadedModel(
+        vision=vision, text=text, params=params, image_size=64,
+        context_length=8, vocab_size=64, mean=mean, std=std,
+        vocab_path="assets/bert_base_vocab_bos_eos.txt",
+    )
+
+    raw = np.random.default_rng(7).integers(
+        0, 256, (4, 64, 64, 3), dtype=np.uint8)
+    pre = ((raw.astype(np.float32) / 255.0
+            - np.asarray(mean, np.float32))
+           / np.asarray(std, np.float32))
+
+    enc_f = build_encode_fn(model, int8=True, on_tpu=False)
+    enc_u8 = build_encode_fn(model, int8=True, on_tpu=False,
+                             uint8_input=True)
+    zf = np.asarray(enc_f(jnp.asarray(pre)))
+    zu = np.asarray(enc_u8(jnp.asarray(raw)))
+    np.testing.assert_allclose(zu, zf, atol=1e-4)

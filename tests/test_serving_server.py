@@ -411,3 +411,26 @@ def test_service_pipelined_results_match_direct(service, model):
     pre = np.stack([model.preprocess(r) for r in raw]).astype(np.float32)
     want = np.asarray(model.encode_image(jnp.asarray(pre)))
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_service_tensor_uint8_data_parallel_matches_single_device(model):
+    """Raw uint8 tensor rows through the batch-parallel (mesh) service:
+    the uint8 bucket must shard over all devices (min_bucket = device
+    count) with the in-graph normalization, matching the single-device
+    float path bitwise-to-tolerance."""
+    from openvision_tpu.parallel import create_mesh
+
+    mesh = create_mesh(data=8)
+    svc = srv.EmbedService(model, int8=False, on_tpu=False,
+                           max_batch=16, max_wait_ms=25.0, mesh=mesh)
+    try:
+        rng = np.random.default_rng(9)
+        raw = rng.integers(0, 256, (3, RES, RES, 3), dtype=np.uint8)
+        futs = svc.embed_image_tensor(raw)  # 3 -> padded to bucket 8
+        got = np.stack([f.result(timeout=120) for f in futs])
+    finally:
+        svc.stop()
+
+    pre = np.stack([model.preprocess(r) for r in raw]).astype(np.float32)
+    want = np.asarray(model.encode_image(jnp.asarray(pre)))
+    np.testing.assert_allclose(got, want, atol=1e-4)
