@@ -154,6 +154,10 @@ def demo_config(args, jsonl_path: str, eval_dir: str, words):
     c.input.batch_size = args.batch
     c.input.shuffle_buffer_size = 10_000
     c.init_shapes = [(args.batch, args.res, args.res, 3), (args.batch * 2, 16)]
+    if getattr(args, "stage2_res", 0):
+        # learned posemb so the stage-2 load_transform exercises the real
+        # resample path (sincos2d is shape-free and would hide it)
+        c.model.image.posemb = "learn"
     c.model.out_dim = (192, 192)
     c.total_steps = args.steps
     c.lr = args.lr
@@ -207,6 +211,11 @@ def main():
                     "(shrinks zero-shot margins; int8-budget regime)")
     ap.add_argument("--noise", type=float, default=8.0,
                     help="per-sample pixel noise sigma (higher = harder)")
+    ap.add_argument("--stage2_res", type=int, default=0,
+                    help=">0: on-hardware curriculum stage 2 — "
+                    "load_transform into this resolution with "
+                    "grad_accum=2 + steps_per_dispatch=2")
+    ap.add_argument("--stage2_steps", type=int, default=200)
     args = ap.parse_args()
 
     from openvision_tpu.train import trainer
@@ -230,11 +239,12 @@ def main():
     ]
     clip_losses = [r["clip_loss"] for r in rows if "clip_loss" in r]
     cap_losses = [r["caption_loss"] for r in rows if "caption_loss" in r]
+    n_classes = len(words)
     result = {
         "steps": args.steps,
         "dec_fusion": args.dec_fusion,
-        "classes": args.classes,
-        "chance_top1": round(1.0 / args.classes, 4),
+        "classes": n_classes,
+        "chance_top1": round(1.0 / n_classes, 4),
         "zero_shot_top1": round(accs[-1], 4) if accs else None,
         "loss_first": round(losses[0][1], 3) if losses else None,
         "loss_last": round(losses[-1][1], 3) if losses else None,
@@ -243,6 +253,45 @@ def main():
         "caption_loss_first": round(cap_losses[0], 3) if cap_losses else None,
         "caption_loss_last": round(cap_losses[-1], 3) if cap_losses else None,
     }
+
+    if args.stage2_res:
+        # ON-HARDWARE curriculum rehearsal (the CPU-mesh version is
+        # tests/test_production_soak.py): load_transform the stage-1 state
+        # into a higher resolution — posemb resample through the REAL
+        # trainer on the real chip — composed with grad_accum=2 and
+        # steps_per_dispatch=2, then re-run the zero-shot eval at the new
+        # geometry (same eval TFRecord; the pp resizes).
+        import copy
+
+        args2 = copy.copy(args)
+        args2.res = args.stage2_res
+        c2 = demo_config(args2, jsonl_path, eval_dir, words)
+        c2.total_steps = args.stage2_steps
+        c2.lr = args.lr * 0.1
+        c2.grad_accum = 2
+        c2.steps_per_dispatch = 2
+        c2.ckpt_steps = args.stage2_steps
+        c2.evals.disclf.log_steps = args.stage2_steps
+        c2.load_transform = os.path.join(workdir, "checkpoints")
+        wd2 = os.path.join(args.root, f"run_ft{args.stage2_res}")
+        trainer.train(c2, wd2)
+        rows2 = [
+            json.loads(l) for l in open(os.path.join(wd2, "metrics.jsonl"))
+        ]
+        losses2 = [r["training_loss"] for r in rows2 if "training_loss" in r]
+        accs2 = [
+            r["z/0shot/demo_accuracy"] for r in rows2
+            if "z/0shot/demo_accuracy" in r
+        ]
+        result["stage2"] = {
+            "res": args.stage2_res,
+            "steps": args.stage2_steps,
+            "grad_accum": 2,
+            "steps_per_dispatch": 2,
+            "loss_first": round(losses2[0], 3) if losses2 else None,
+            "loss_last": round(losses2[-1], 3) if losses2 else None,
+            "zero_shot_top1": round(accs2[-1], 4) if accs2 else None,
+        }
     print(json.dumps(result))
 
 
