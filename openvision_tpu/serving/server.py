@@ -40,10 +40,18 @@ HTTP API (JSON unless noted):
   POST /v1/rank              {"texts": [...]} + {"b64": "<base64>"}
                              -> zero-shot softmax over the texts for the
                                 image (the zero_shot tool over the wire)
+  POST /v1/caption           body = raw image bytes / {"b64": ...} (same
+                             payloads as /v1/embed/image)
+                             -> {"captions": ["..."]}. Requires a NATIVE
+                             train-state checkpoint (--caption_checkpoint
+                             + --caption_config): the open_clip export
+                             format carries no generative head. 503 when
+                             not configured.
 
 Usage:
   python -m openvision_tpu.serving.server --use_model <converted dir> \
-      [--port 8000] [--max_batch 64] [--max_wait_ms 5] [--int8] [--warmup]
+      [--port 8000] [--max_batch 64] [--max_wait_ms 5] [--int8] [--warmup] \
+      [--caption_checkpoint <ckpt> --caption_config "res=224,img=L/14,..."]
 """
 
 from __future__ import annotations
@@ -428,12 +436,93 @@ class EmbedService:
         self.texts.stop()
 
 
+class CaptionService:
+    """Dynamic-batched image captioning over a NATIVE train-state checkpoint.
+
+    The converted open_clip export carries only the two contrastive towers
+    (the reference's published zoo has no generative head to serve), so the
+    caption route loads the framework's OWN train state (Orbax dir / flat
+    npz / legacy tensorstore — `train/checkpoint.py` routes all three) and
+    runs the one-pass prefix-LM generate the caption CLI uses
+    (`tools/caption.build_captioner`: fixed query tokens conditioned on the
+    image prefix, every caption position from ONE jitted forward).
+    Concurrent requests coalesce in the same pipelined DynamicBatcher as
+    the embed routes, so captions too run in MXU-sized batches.
+
+    Greedy decode only: a per-request temperature would fragment each batch
+    into per-temperature compiled programs; sampling stays on the offline
+    CLI (`tools/caption.py --temperature`), where it batches by invocation.
+    """
+
+    def __init__(self, config, checkpoint: str, *, step: int | None = None,
+                 vocab_path: str = "assets/bert_base_vocab_bos_eos.txt",
+                 max_batch: int = 64, max_wait_ms: float = 5.0):
+        from openvision_tpu.data.pp import build_pp_fn, import_pp_modules
+        from openvision_tpu.tools.caption import build_captioner
+
+        self.caption_fn, self.tok = build_captioner(
+            config, checkpoint, step, vocab_path=vocab_path)
+        self.image_size = int(config.init_shapes[0][1])
+        self.max_batch = int(max_batch)
+        import_pp_modules(["ops_image"])
+        # the evaluators' inference pp: resize_small -> central_crop -> vgg
+        self._pp = build_pp_fn(
+            f'resize_small({self.image_size}, method="bilinear", '
+            f'antialias=True)|central_crop({self.image_size})|vgg_value_range'
+        )
+        self._rng = jax.random.PRNGKey(0)  # greedy decode ignores it
+        self.batcher = DynamicBatcher(
+            dispatch=self._dispatch, finalize=self._finalize,
+            max_batch=self.max_batch, max_wait_ms=max_wait_ms,
+            name="caption")
+
+    # --- dispatcher-thread half ---
+
+    def _dispatch(self, items: list[np.ndarray]):
+        n = len(items)
+        b = bucket_size(n, self.max_batch)
+        s = self.image_size
+        x = np.zeros((b, s, s, 3), np.float32)
+        x[:n] = np.stack(items)
+        return n, self.caption_fn(jnp.asarray(x), self._rng, 0.0)
+
+    def _finalize(self, handle) -> list[str]:
+        n, ids = handle
+        ids = np.asarray(jax.device_get(ids))[:n]
+        return [self.tok.decode(row.tolist()) for row in ids]
+
+    # --- request-thread API ---
+
+    def caption_image_bytes(self, data: bytes) -> Future:
+        from PIL import Image
+
+        img = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        row = self._pp({"image": img}, np.random.default_rng(0))["image"]
+        return self.batcher.submit(np.asarray(row, np.float32))
+
+    def warmup(self):
+        s, b = self.image_size, 1
+        while True:
+            np.asarray(jax.device_get(self.caption_fn(
+                jnp.zeros((b, s, s, 3), jnp.float32), self._rng, 0.0)))
+            if b >= self.max_batch:
+                break
+            b *= 2
+
+    def stats(self) -> dict:
+        return self.batcher.stats()
+
+    def stop(self):
+        self.batcher.stop()
+
+
 def _json_bytes(obj) -> bytes:
     return json.dumps(obj).encode("utf-8")
 
 
 class _Handler(BaseHTTPRequestHandler):
     service: EmbedService  # set by make_server
+    caption_service: "CaptionService | None" = None  # optional, make_server
     started: float = 0.0
     protocol_version = "HTTP/1.1"
 
@@ -459,9 +548,13 @@ class _Handler(BaseHTTPRequestHandler):
                 "uptime_s": time.monotonic() - self.started,
                 "image_size": self.service.model.image_size,
                 "embed_dim": None,  # filled after first embed; cheap to omit
+                "caption": self.caption_service is not None,
             })
         elif self.path == "/stats":
-            self._reply(200, self.service.stats())
+            s = self.service.stats()
+            if self.caption_service is not None:
+                s["caption"] = self.caption_service.stats()
+            self._reply(200, s)
         else:
             self._reply(404, {"error": f"no route {self.path}"})
 
@@ -512,6 +605,17 @@ class _Handler(BaseHTTPRequestHandler):
                     return self._reply(400, {"error": "need b64 and texts"})
                 return self._reply(200, self.service.rank(
                     base64.b64decode(req["b64"]), list(req["texts"])))
+            elif self.path == "/v1/caption":
+                if self.caption_service is None:
+                    return self._reply(503, {
+                        "error": "no caption model loaded (start the server "
+                                 "with --caption_checkpoint/--caption_config)"
+                    })
+                futures = [self.caption_service.caption_image_bytes(b)
+                           for b in self._image_payloads()]
+                return self._reply(200, {
+                    "captions": [f.result(timeout=120.0) for f in futures],
+                })
             else:
                 return self._reply(404, {"error": f"no route {self.path}"})
             embeds = [f.result(timeout=120.0) for f in futures]
@@ -536,9 +640,12 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 def make_server(service: EmbedService, host: str = "127.0.0.1",
-                port: int = 8000) -> ThreadingHTTPServer:
+                port: int = 8000,
+                caption_service: "CaptionService | None" = None,
+                ) -> ThreadingHTTPServer:
     handler = type("Handler", (_Handler,),
-                   {"service": service, "started": time.monotonic()})
+                   {"service": service, "caption_service": caption_service,
+                    "started": time.monotonic()})
     return ThreadingHTTPServer((host, port), handler)
 
 
@@ -559,6 +666,18 @@ def main(argv=None):
     parser.add_argument("--data_parallel", action="store_true",
                         help="shard each batch over ALL local devices "
                              "(batch-parallel multi-chip serving)")
+    parser.add_argument("--caption_checkpoint", default=None,
+                        help="NATIVE train-state checkpoint (Orbax dir / npz "
+                             "/ legacy ts) with the CoCa decoder; enables "
+                             "POST /v1/caption")
+    parser.add_argument("--caption_config",
+                        default="res=224,img=L/14,txt_name=L,"
+                                "txt_decoder_name=L",
+                        help="config arg string the caption checkpoint was "
+                             "trained with (configs/openvision.py)")
+    parser.add_argument("--caption_step", type=int, default=None)
+    parser.add_argument("--caption_vocab",
+                        default="assets/bert_base_vocab_bos_eos.txt")
     args = parser.parse_args(argv)
 
     on_tpu = on_accelerator()
@@ -570,12 +689,23 @@ def main(argv=None):
     service = EmbedService(model, int8=args.int8, on_tpu=on_tpu,
                            max_batch=args.max_batch,
                            max_wait_ms=args.max_wait_ms, mesh=mesh)
+    caption_service = None
+    if args.caption_checkpoint:
+        from openvision_tpu.configs import openvision as cfg_mod
+
+        caption_service = CaptionService(
+            cfg_mod.get_config(args.caption_config), args.caption_checkpoint,
+            step=args.caption_step, vocab_path=args.caption_vocab,
+            max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
     if args.warmup:
         t0 = time.perf_counter()
         service.warmup()
+        if caption_service is not None:
+            caption_service.warmup()
         print(f"warmup: all buckets compiled in {time.perf_counter()-t0:.1f}s")
 
-    server = make_server(service, args.host, args.port)
+    server = make_server(service, args.host, args.port,
+                         caption_service=caption_service)
     print(f"serving on http://{args.host}:{args.port} "
           f"(max_batch={args.max_batch}, max_wait={args.max_wait_ms}ms, "
           f"{'int8' if args.int8 else args.dtype}, attn={attn_impl}, "
@@ -587,6 +717,8 @@ def main(argv=None):
     finally:
         server.shutdown()
         service.stop()
+        if caption_service is not None:
+            caption_service.stop()
 
 
 if __name__ == "__main__":
